@@ -1,0 +1,200 @@
+"""Unit tests for ops: derivatives, losses, normalization, padding, LSTM.
+
+Torch is used as an independent oracle for the LSTM cell and for the
+derivative/loss numerics (the reference implements these in torch)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from paule_tpu.ops import derivatives as D
+from paule_tpu.ops import losses as L
+from paule_tpu.ops import normalize as N
+from paule_tpu.ops import padding as P
+from paule_tpu.ops import lstm as LS
+
+
+def test_five_point_stencil_matches_formula():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 20, 3))
+    got = np.asarray(D.five_point_stencil(jnp.asarray(x)))
+    want = (-x[:, 4:, :] + 8 * x[:, 3:-1, :] - 8 * x[:, 1:-3, :] + x[:, :-4, :]) / 12.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert got.shape == (2, 16, 3)
+
+
+def test_stencil_exact_on_polynomials():
+    # the five-point stencil is exact for polynomials up to degree 4
+    t = np.arange(30, dtype=np.float64)
+    x = (0.5 * t**3 - 2 * t**2 + t)[None, :, None]
+    got = np.asarray(D.five_point_stencil(jnp.asarray(x)))[0, :, 0]
+    want = (1.5 * t**2 - 4 * t + 1)[2:-2]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_local_linear_zero_on_lines():
+    t = np.arange(30, dtype=np.float64)
+    x = (3.0 * t + 7.0)[None, :, None]
+    got = np.asarray(D.local_linear(jnp.asarray(x)))
+    np.testing.assert_allclose(got, 0.0, atol=1e-12)
+
+
+def test_vel_acc_jerk_shapes():
+    x = jnp.zeros((1, 40, 30))
+    v, a, j = D.vel_acc_jerk(x)
+    assert v.shape == (1, 36, 30)
+    assert a.shape == (1, 32, 30)
+    assert j.shape == (1, 28, 30)
+
+
+def test_double_and_half_sequence_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 10, 4))
+    doubled = np.asarray(D.double_sequence(jnp.asarray(x)))
+    assert doubled.shape == (2, 20, 4)
+    np.testing.assert_allclose(doubled[:, ::2], x)
+    np.testing.assert_allclose(
+        doubled[:, 1:-1:2], (x[:, :-1] + x[:, 1:]) / 2)
+    np.testing.assert_allclose(doubled[:, -1], x[:, -1])
+
+    halved = np.asarray(D.half_sequence(jnp.asarray(doubled)))
+    assert halved.shape == (2, 10, 4)
+
+
+def test_add_vel_and_acc_info_matches_torch_reference_semantics():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 12, 5))
+    got = np.asarray(D.add_vel_and_acc_info(jnp.asarray(x)))
+    assert got.shape == (2, 12, 15)
+    vel = x[:, 1:, :] - x[:, :-1, :]
+    acc = vel[:, 1:, :] - vel[:, :-1, :]
+    np.testing.assert_allclose(got[:, :, :5], x)
+    np.testing.assert_allclose(got[:, :-1, 5:10], vel)
+    np.testing.assert_allclose(got[:, -1, 5:10], 0.0)
+    np.testing.assert_allclose(got[:, 1:-1, 10:], acc)
+
+
+def test_rmse_and_cp_trajectory_loss_vs_torch():
+    rng = np.random.default_rng(3)
+    yhat = rng.normal(size=(2, 30, 6))
+    y = rng.normal(size=(2, 30, 6))
+
+    got = float(L.rmse(jnp.asarray(yhat), jnp.asarray(y)))
+    want = float(torch.sqrt(torch.nn.MSELoss()(torch.tensor(yhat), torch.tensor(y))))
+    assert got == pytest.approx(want, rel=1e-6)
+
+    loss, pos, vel, acc, jerk = L.cp_trajectory_loss(jnp.asarray(yhat), jnp.asarray(y))
+    assert float(loss) == pytest.approx(
+        float(pos) + float(vel) + float(acc) + float(jerk), rel=1e-6)
+    # vel term carries the reference's 3x multiplicity
+    v_t = D.five_point_stencil(jnp.asarray(y))
+    v_p = D.five_point_stencil(jnp.asarray(yhat))
+    assert float(vel) == pytest.approx(3 * float(L.rmse(v_p, v_t)), rel=1e-6)
+
+
+def test_velocity_jerk_loss_guiding_factor():
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(1, 30, 3)))
+    v0, j0 = L.velocity_jerk_loss(x)
+    vg, jg = L.velocity_jerk_loss(x, guiding_factor=0.9)
+    # guiding at 0.9 leaves 10% of the discrepancy
+    assert float(vg) == pytest.approx(0.1 * float(v0), rel=1e-5)
+    assert float(jg) == pytest.approx(0.1 * float(j0), rel=1e-5)
+
+
+def test_bce_with_logits_vs_torch():
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(7,))
+    got = float(L.bce_with_logits(jnp.asarray(logits), jnp.zeros(7)))
+    want = float(torch.nn.BCEWithLogitsLoss()(
+        torch.tensor(logits), torch.zeros(7, dtype=torch.float64)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_normalize_roundtrips():
+    rng = np.random.default_rng(6)
+    cp = rng.normal(size=(11, 30))
+    np.testing.assert_allclose(
+        N.inv_normalize_cp(N.normalize_cp(cp)), cp, rtol=1e-10)
+    tube = rng.normal(size=(11, 10))
+    np.testing.assert_allclose(
+        N.inv_normalize_tube(N.normalize_tube(tube)), tube, rtol=1e-10)
+    mel = rng.normal(size=(5, 60))
+    np.testing.assert_allclose(
+        N.inv_normalize_mel(N.normalize_mel(mel)), mel, rtol=1e-10)
+
+
+def test_mel_silence_anchor_value():
+    # the silence dB value that anchors mel normalization
+    assert N.mel_mean == pytest.approx(-83.52182518111363, abs=1e-9)
+
+
+def test_cp_normalization_against_reference_tables():
+    # theoretical means/stds must match the reference normalization tables
+    want_means = np.array([
+        0.5, -4.75, -0.25, -3.5, 0.0, 1.0, 0.5, 0.45, 0.5, -1.0, 3.5,
+        -0.25, 0.5, 1.0, -1.0, -3.0, 0.5, 0.5, 0.0, 320.0, 1e4, 0.125,
+        0.125, 0.0, 1.57075, 0.0, 0.5, 0.0, 50.0, -20.0])
+    want_stds = np.array([
+        0.5, 1.25, 0.25, 3.5, 1.0, 3.0, 0.5, 0.55, 3.5, 2.0, 2.0, 2.75,
+        3.5, 4.0, 3.0, 3.0, 0.5, 0.5, 1.0, 280.0, 1e4, 0.175, 0.175,
+        0.25, 1.57075, 1.0, 0.5, 0.5, 50.0, 20.0])
+    np.testing.assert_allclose(N.cp_theoretical_means, want_means, atol=1e-9)
+    np.testing.assert_allclose(N.cp_theoretical_stds, want_stds, atol=1e-9)
+
+
+def test_add_and_pad_repeats_last_row_and_onset():
+    x = np.arange(6, dtype=np.float64).reshape(3, 2)
+    out = P.add_and_pad(x, 5)
+    assert out.shape == (5, 2)
+    np.testing.assert_allclose(out[3], x[-1])
+    np.testing.assert_allclose(out[4], x[-1])
+    out = P.add_and_pad(x, 4, with_onset_dim=True)
+    assert out.shape == (4, 3)
+    assert out[0, 2] == 1 and out[1:, 2].sum() == 0
+
+
+def test_pad_batch():
+    seqs = [np.ones((3, 2)), 2 * np.ones((5, 2))]
+    out = P.pad_batch([3, 5], seqs)
+    assert out.shape == (2, 5, 2)
+    np.testing.assert_allclose(out[0, 3:], 1.0)
+
+
+def test_lstm_matches_torch():
+    torch.manual_seed(0)
+    b, t, i, h = 2, 9, 5, 7
+    ref = torch.nn.LSTM(i, h, num_layers=2, batch_first=True).double()
+    x = torch.randn(b, t, i, dtype=torch.float64)
+    with torch.no_grad():
+        want, (h_n, c_n) = ref(x)
+
+    layers = []
+    for li in range(2):
+        layers.append({
+            "w_ih": jnp.asarray(getattr(ref, f"weight_ih_l{li}").detach().numpy().T),
+            "w_hh": jnp.asarray(getattr(ref, f"weight_hh_l{li}").detach().numpy().T),
+            "b": jnp.asarray(
+                (getattr(ref, f"bias_ih_l{li}") + getattr(ref, f"bias_hh_l{li}"))
+                .detach().numpy()),
+        })
+    got, (gh, gc) = LS.lstm(layers, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gh), h_n.numpy(), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gc), c_n.numpy(), atol=1e-10)
+
+
+def test_lstm_jit_and_grad():
+    rng = jax.random.PRNGKey(0)
+    layers = [LS.lstm_layer_params(rng, 4, 8)]
+
+    @jax.jit
+    def f(x):
+        out, _ = LS.lstm(layers, x)
+        return jnp.sum(out**2)
+
+    x = jnp.ones((1, 6, 4))
+    g = jax.grad(f)(x)
+    assert g.shape == x.shape
+    assert np.isfinite(np.asarray(g)).all()
