@@ -3,7 +3,7 @@ tests run without TPU hardware, and jit-compiled tests stay fast."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even if axon/TPU is present
 # run the test suite in float64 parity mode (CPU); TPU deployments use f32
 os.environ.setdefault("PAULE_TPU_X64", "1")
 flags = os.environ.get("XLA_FLAGS", "")
