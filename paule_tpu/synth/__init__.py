@@ -1,0 +1,437 @@
+"""ctypes bridge to the paule_tpu C++ articulatory synthesizer.
+
+Provides the same functional surface the reference's Python layer consumed
+from the VocalTractLab binary (/root/reference/paule/util.py:175-433,
+542-561, 729-887), plus a handle-based :class:`SynthPool` for concurrent
+synthesis (the reference's VTL is a global singleton and therefore a
+serialized host resource — ours is not).
+
+The library initializes lazily on first use, not at import time.
+"""
+
+import ctypes
+import os
+import tempfile
+import threading
+
+import numpy as np
+
+from . import build as _build
+from ..ops.normalize import N_CP, N_GLOTTIS, N_TRACT
+
+ARTICULATOR = {
+    0: "vocal folds",
+    1: "tongue",
+    2: "lower incisors",
+    3: "lower lip",
+    4: "other articulator",
+    5: "num articulators",
+}
+
+FRAME_STEPS = 110  # samples per control frame (2.5 ms @ 44.1 kHz)
+SAMPLE_RATE = 44100
+N_TUBE_SECTIONS = 40
+
+_lib = None
+_lib_lock = threading.Lock()
+_initialized = False
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is None:
+            path = _build.build()
+            _lib = ctypes.cdll.LoadLibrary(path)
+            _lib.pts_create.restype = ctypes.c_void_p
+            _lib.pts_create.argtypes = [ctypes.c_char_p]
+            _lib.pts_destroy.argtypes = [ctypes.c_void_p]
+    return _lib
+
+
+def initialize(speaker_path="default"):
+    """Initialize the default synthesizer instance from a speaker file."""
+    global _initialized
+    lib = _load()
+    failure = lib.pts_initialize(str(speaker_path).encode())
+    if failure != 0:
+        raise ValueError(f"Error in pts_initialize! Errorcode: {failure}")
+    _initialized = True
+    return lib
+
+
+def _default():
+    if not _initialized:
+        initialize()
+    return _lib
+
+
+def version():
+    lib = _load()
+    buf = ctypes.create_string_buffer(64)
+    lib.pts_get_version(buf, 64)
+    return buf.value.decode()
+
+
+def get_constants():
+    lib = _default()
+    sr = ctypes.c_int(0)
+    n_tube = ctypes.c_int(0)
+    n_tract = ctypes.c_int(0)
+    n_glottis = ctypes.c_int(0)
+    n_per_state = ctypes.c_int(0)
+    internal = ctypes.c_double(0)
+    lib.pts_get_constants(
+        ctypes.byref(sr), ctypes.byref(n_tube), ctypes.byref(n_tract),
+        ctypes.byref(n_glottis), ctypes.byref(n_per_state),
+        ctypes.byref(internal))
+    return {
+        "audio_sampling_rate": sr.value,
+        "n_tube_sections": n_tube.value,
+        "n_tract_params": n_tract.value,
+        "n_glottis_params": n_glottis.value,
+        "n_samples_per_state": n_per_state.value,
+        "internal_sampling_rate": internal.value,
+    }
+
+
+def get_param_info(which="tract"):
+    lib = _default()
+    n = N_TRACT if which == "tract" else N_GLOTTIS
+    names = ctypes.create_string_buffer(512)
+    mins = (ctypes.c_double * n)()
+    maxs = (ctypes.c_double * n)()
+    neutrals = (ctypes.c_double * n)()
+    fn = (lib.pts_get_tract_param_info if which == "tract"
+          else lib.pts_get_glottis_param_info)
+    fn(names, 512, ctypes.byref(mins), ctypes.byref(maxs), ctypes.byref(neutrals))
+    return {
+        "names": names.value.decode().split(),
+        "mins": np.array(mins[:]),
+        "maxs": np.array(maxs[:]),
+        "neutrals": np.array(neutrals[:]),
+    }
+
+
+def _check_cp(cp_param):
+    cp = np.ascontiguousarray(cp_param, dtype=np.float64)
+    if cp.ndim != 2 or cp.shape[1] != N_CP:
+        raise ValueError(f"cp_param must be (seq, {N_CP}), got {cp.shape}")
+    return cp
+
+
+def speak(cp_param):
+    """Synthesize audio from a denormalized cp trajectory.
+
+    Behavioral contract of the reference's ``speak``
+    (/root/reference/paule/util.py:175-249): input ``(seq, 30)``, output
+    ``(audio[(seq-1)*110], 44100)``.
+    """
+    lib = _default()
+    cp = _check_cp(cp_param)
+    consts = get_constants()
+    assert consts["audio_sampling_rate"] == SAMPLE_RATE
+    assert consts["n_tract_params"] == N_TRACT
+    assert consts["n_glottis_params"] == N_GLOTTIS
+
+    n_frames = cp.shape[0]
+    n_audio = max(0, (n_frames - 1) * FRAME_STEPS)
+    audio = np.zeros(n_audio, dtype=np.float64)
+    tract = np.ascontiguousarray(cp[:, :N_TRACT])
+    glottis = np.ascontiguousarray(cp[:, N_TRACT:])
+
+    failure = lib.pts_synthesis_reset()
+    if failure != 0:
+        raise ValueError(f"Error in pts_synthesis_reset! Errorcode: {failure}")
+    failure = lib.pts_synth_block(
+        tract.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        glottis.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_frames, FRAME_STEPS,
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if failure != 0:
+        raise ValueError(f"Error in pts_synth_block! Errorcode: {failure}")
+    return audio, SAMPLE_RATE
+
+
+def speak_and_extract_tube_information(cp_param):
+    """Frame-by-frame synthesis with tube extraction (behavioral contract of
+    /root/reference/paule/util.py:317-433)."""
+    lib = _default()
+    cp = _check_cp(cp_param)
+    n_frames = cp.shape[0]
+    tract = np.ascontiguousarray(cp[:, :N_TRACT])
+    glottis = np.ascontiguousarray(cp[:, N_TRACT:])
+
+    audio = np.zeros(max(0, (n_frames - 1)) * FRAME_STEPS, dtype=np.float64)
+    tube_length = np.zeros((n_frames, N_TUBE_SECTIONS))
+    tube_area = np.zeros((n_frames, N_TUBE_SECTIONS))
+    tube_articulator_idx = np.zeros((n_frames, N_TUBE_SECTIONS), dtype=np.int32)
+    incisor = np.zeros(n_frames)
+    tongue_tip = np.zeros(n_frames)
+    velum = np.zeros(n_frames)
+
+    failure = lib.pts_synthesis_reset()
+    if failure != 0:
+        raise ValueError(f"Error in pts_synthesis_reset! Errorcode: {failure}")
+
+    dptr = ctypes.POINTER(ctypes.c_double)
+    iptr = ctypes.POINTER(ctypes.c_int)
+    for i in range(n_frames):
+        n_samples = 0 if i == 0 else FRAME_STEPS
+        audio_view = audio[(i - 1) * FRAME_STEPS : i * FRAME_STEPS] if i > 0 \
+            else np.zeros(1)
+        failure = lib.pts_synthesis_add_tract(
+            n_samples, audio_view.ctypes.data_as(dptr),
+            tract[i].ctypes.data_as(dptr), glottis[i].ctypes.data_as(dptr))
+        if failure != 0:
+            raise ValueError(
+                f"Error in pts_synthesis_add_tract! Errorcode: {failure}")
+        inc = ctypes.c_double(0)
+        tt = ctypes.c_double(0)
+        vel = ctypes.c_double(0)
+        failure = lib.pts_tract_to_tube(
+            tract[i].ctypes.data_as(dptr),
+            tube_length[i].ctypes.data_as(dptr),
+            tube_area[i].ctypes.data_as(dptr),
+            tube_articulator_idx[i].ctypes.data_as(iptr),
+            ctypes.byref(inc), ctypes.byref(tt), ctypes.byref(vel))
+        if failure != 0:
+            raise ValueError(f"Error in pts_tract_to_tube! Errorcode: {failure}")
+        incisor[i] = inc.value
+        tongue_tip[i] = tt.value
+        velum[i] = vel.value
+
+    arti = np.vectorize(ARTICULATOR.get)(tube_articulator_idx)
+    tube_info = {
+        "tube_length_cm": tube_length,
+        "tube_area_cm2": tube_area,
+        "tube_articulator": arti,
+        "incisor_pos_cm": incisor,
+        "tongue_tip_side_elevation": tongue_tip,
+        "velum_opening_cm2": velum,
+    }
+    return audio, SAMPLE_RATE, tube_info
+
+
+def tract_to_tube(tract_params):
+    """Single-frame tube extraction from 19 tract params."""
+    lib = _default()
+    tract = np.ascontiguousarray(tract_params, dtype=np.float64)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    iptr = ctypes.POINTER(ctypes.c_int)
+    tl = np.zeros(N_TUBE_SECTIONS)
+    ta = np.zeros(N_TUBE_SECTIONS)
+    ai = np.zeros(N_TUBE_SECTIONS, dtype=np.int32)
+    inc = ctypes.c_double(0)
+    tt = ctypes.c_double(0)
+    vel = ctypes.c_double(0)
+    failure = lib.pts_tract_to_tube(
+        tract.ctypes.data_as(dptr), tl.ctypes.data_as(dptr),
+        ta.ctypes.data_as(dptr), ai.ctypes.data_as(iptr),
+        ctypes.byref(inc), ctypes.byref(tt), ctypes.byref(vel))
+    if failure != 0:
+        raise ValueError(f"Error in pts_tract_to_tube! Errorcode: {failure}")
+    return tl, ta, ai, inc.value, tt.value, vel.value
+
+
+def export_svgs(cps, path="svgs/", hop_length=5):
+    """Per-frame midsagittal SVG export (hop 5 ~ 80 fps, hop 16 ~ 25 fps)."""
+    lib = _default()
+    cps = np.ascontiguousarray(cps, dtype=np.float64)
+    os.makedirs(path, exist_ok=True)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    for ii in range(cps.shape[0] // hop_length):
+        jj = ii * hop_length
+        tract = np.ascontiguousarray(cps[jj, :N_TRACT])
+        file_name = os.path.join(path, f"tract{ii:05d}.svg")
+        lib.pts_export_tract_svg(
+            tract.ctypes.data_as(dptr), file_name.encode())
+
+
+def cps_to_ema_and_mesh(cps, file_prefix, *, path=""):
+    """EMA trajectories + mesh export for a cp sequence (behavioral contract
+    of /root/reference/paule/util.py:729-804)."""
+    lib = _default()
+    cps = _check_cp(cps)
+    n_frames = cps.shape[0]
+    tract = np.ascontiguousarray(cps[:, :N_TRACT])
+    glottis = np.ascontiguousarray(cps[:, N_TRACT:])
+
+    n_ema = 3
+    surf = (ctypes.c_int * n_ema)(16, 16, 16)  # tongue surface
+    vert = (ctypes.c_int * n_ema)(115, 225, 335)  # back / mid / tip
+
+    if path and not os.path.exists(path):
+        os.makedirs(path, exist_ok=True)
+
+    dptr = ctypes.POINTER(ctypes.c_double)
+    failure = lib.pts_tract_sequence_to_ema_and_mesh(
+        tract.ctypes.data_as(dptr), glottis.ctypes.data_as(dptr),
+        N_TRACT, N_GLOTTIS, n_frames, n_ema,
+        ctypes.byref(surf), ctypes.byref(vert),
+        str(path).encode(), str(file_prefix).encode())
+    if failure != 0:
+        raise ValueError(
+            f"Error in pts_tract_sequence_to_ema_and_mesh! Errorcode: {failure}")
+
+
+def cps_to_ema(cps):
+    """EMA export returned as a pandas DataFrame."""
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory(prefix="paule_tpu_") as path:
+        file_name = "paule_tpu_ema_export"
+        cps_to_ema_and_mesh(cps, file_prefix=file_name, path=path)
+        emas = pd.read_table(os.path.join(path, f"{file_name}-ema.txt"), sep=" ")
+    return emas
+
+
+def read_cp(filename):
+    """Parse a tract-sequence file into an unnormalized (n, 30) cp array
+    (format contract of /root/reference/paule/util.py:149-172)."""
+    with open(filename, "rt") as cp_file:
+        for _ in range(6):
+            cp_file.readline()
+        glottis_model = cp_file.readline().strip()
+        if glottis_model != "Geometric glottis":
+            raise ValueError(
+                f'glottis model is not "Geometric glottis" in file {filename}')
+        n_states = int(cp_file.readline().strip())
+        cp_param = np.zeros((n_states, N_CP))
+        for ii, line in enumerate(cp_file):
+            kk = ii // 2
+            if kk >= n_states:
+                raise ValueError(
+                    f"more states saved in file {filename} than claimed")
+            vals = np.fromstring(line.strip(), sep=" ")
+            if ii % 2 == 0:
+                cp_param[kk, N_TRACT:] = vals
+            else:
+                cp_param[kk, :N_TRACT] = vals
+    return cp_param
+
+
+def seg_to_cps(seg_file):
+    """Segment file -> gestural score -> unnormalized cps."""
+    lib = _default()
+    with tempfile.TemporaryDirectory() as tmpdir:
+        ges = os.path.join(tmpdir, "gestural_score.txt")
+        failure = lib.pts_segment_sequence_to_gestural_score(
+            str(seg_file).encode(), ges.encode())
+        if failure != 0:
+            raise ValueError(
+                f"Error in pts_segment_sequence_to_gestural_score! "
+                f"Errorcode: {failure}")
+        cps = ges_to_cps(ges)
+    return cps
+
+
+def ges_to_cps(ges_file):
+    """Gestural score file -> unnormalized cps."""
+    lib = _default()
+    with tempfile.TemporaryDirectory() as tmpdir:
+        seq = os.path.join(tmpdir, "tract_sequence.txt")
+        failure = lib.pts_gestural_score_to_tract_sequence(
+            str(ges_file).encode(), seq.encode())
+        if failure != 0:
+            raise ValueError(
+                f"Error in pts_gestural_score_to_tract_sequence! "
+                f"Errorcode: {failure}")
+        cps = read_cp(seq)
+    return cps
+
+
+def get_area_info_within_oral_cavity(tube_length, tube_area, *, cm_inside=7,
+                                     calculate="min"):
+    """Reduce 40 tube sections to per-cm oral-cavity features over the last
+    ``cm_inside`` cm from the lips (behavioral contract of
+    /root/reference/paule/util.py:890-933) — vectorized numpy, no per-frame
+    Python loops over sections."""
+    tube_length = np.asarray(tube_length)
+    tube_area = np.asarray(tube_area)
+    cum = np.cumsum(tube_length, axis=1)  # (T, 40)
+    total = cum[:, -1:]  # (T, 1)
+    n_sections = tube_area.shape[1]
+
+    out = np.zeros((tube_area.shape[0], cm_inside))
+    for j in range(cm_inside):
+        lo = total - (cm_inside - j)
+        hi = total - (cm_inside - j - 1)
+        inside = (cum >= lo) & (cum <= hi)  # (T, 40)
+        # include one more section to the right (partially overlapping)
+        idx = np.arange(n_sections)[None, :]
+        last_idx = np.where(inside, idx, -1).max(axis=1)
+        extra = idx == np.minimum(last_idx + 1, n_sections - 1)[:, None]
+        sel = inside | (extra & (last_idx >= 0)[:, None])
+        if calculate == "min":
+            vals = np.where(sel, tube_area, np.inf).min(axis=1)
+        elif calculate == "mean":
+            s = np.where(sel, tube_area, 0.0).sum(axis=1)
+            c = np.maximum(sel.sum(axis=1), 1)
+            vals = s / c
+        elif calculate == "binary":
+            vals = (np.where(sel, tube_area, np.inf) <= 0.001).any(axis=1)
+        else:
+            raise ValueError("calculate must be one of ['mean','binary','min']")
+        out[:, j] = vals
+    return out
+
+
+class SynthPool:
+    """Pool of independent synthesizer handles for concurrent host synthesis.
+
+    Unlike the reference's single global VTL instance, each handle carries
+    its own state, so a thread pool can synthesize different cp snapshots in
+    parallel while the TPU keeps planning.
+    """
+
+    def __init__(self, size=2, speaker_path="default"):
+        lib = _load()
+        self._lib = lib
+        self._handles = []
+        self._free = []
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        for _ in range(size):
+            h = lib.pts_create(str(speaker_path).encode())
+            if not h:
+                raise ValueError("pts_create failed")
+            self._handles.append(h)
+            self._free.append(h)
+
+    def speak(self, cp_param):
+        cp = _check_cp(cp_param)
+        n_frames = cp.shape[0]
+        audio = np.zeros(max(0, (n_frames - 1) * FRAME_STEPS), dtype=np.float64)
+        tract = np.ascontiguousarray(cp[:, :N_TRACT])
+        glottis = np.ascontiguousarray(cp[:, N_TRACT:])
+        dptr = ctypes.POINTER(ctypes.c_double)
+        with self._cond:
+            while not self._free:
+                self._cond.wait()
+            h = self._free.pop()
+        try:
+            failure = self._lib.pts_synth_block_h(
+                ctypes.c_void_p(h),
+                tract.ctypes.data_as(dptr), glottis.ctypes.data_as(dptr),
+                n_frames, FRAME_STEPS, audio.ctypes.data_as(dptr))
+            if failure != 0:
+                raise ValueError(f"pts_synth_block_h failed: {failure}")
+        finally:
+            with self._cond:
+                self._free.append(h)
+                self._cond.notify()
+        return audio, SAMPLE_RATE
+
+    def close(self):
+        with self._lock:
+            for h in self._handles:
+                self._lib.pts_destroy(ctypes.c_void_p(h))
+            self._handles.clear()
+            self._free.clear()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,53 @@
+"""Build driver for the C++ synthesizer.
+
+Compiles ``csrc/*.cpp`` into ``_build/libptsynth.so`` with g++ on first use
+(or when sources are newer than the library).  CMakeLists.txt is also
+provided for standalone builds; this driver keeps ``pip install``-free
+environments working.
+"""
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CSRC = os.path.join(HERE, "csrc")
+BUILD_DIR = os.path.join(HERE, "_build")
+LIB_NAME = "libptsynth.so" if not sys.platform.startswith("darwin") else "libptsynth.dylib"
+LIB_PATH = os.path.join(BUILD_DIR, LIB_NAME)
+
+SOURCES = ["model.cpp", "files.cpp", "api.cpp"]
+
+
+def _needs_build():
+    if not os.path.exists(LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(LIB_PATH)
+    for src in SOURCES + ["model.h"]:
+        if os.path.getmtime(os.path.join(CSRC, src)) > lib_mtime:
+            return True
+    return False
+
+
+def build(force=False, verbose=False):
+    """Compile the synthesizer shared library; returns its path."""
+    if not force and not _needs_build():
+        return LIB_PATH
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-std=c++17", "-O3", "-fPIC", "-shared",
+        "-Wall", "-Wextra",
+        *(os.path.join(CSRC, s) for s in SOURCES),
+        "-o", LIB_PATH,
+    ]
+    if verbose:
+        print("[paule_tpu.synth] building:", " ".join(cmd))
+    result = subprocess.run(cmd, capture_output=True, text=True)
+    if result.returncode != 0:
+        raise RuntimeError(
+            f"synthesizer build failed:\n{result.stderr}\n{result.stdout}")
+    return LIB_PATH
+
+
+if __name__ == "__main__":
+    print(build(force="--force" in sys.argv, verbose=True))

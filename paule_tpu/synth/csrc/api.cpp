@@ -1,0 +1,234 @@
+// paule_tpu articulatory synthesizer — C ABI.
+//
+// Two layers:
+//   * handle-based calls (pts_create / pts_*_h / pts_destroy) — thread-safe
+//     as long as each handle is used from one thread at a time; intended for
+//     host-side synthesizer pools.
+//   * a default-instance layer mirroring the call pattern of the reference's
+//     VTL usage (global init at import, /root/reference/paule/util.py:29-41)
+//     for drop-in ctypes use.
+//
+// All functions return 0 on success and a nonzero error code on failure.
+
+#include <cstring>
+#include <memory>
+#include <mutex>
+#include <string>
+
+#include "model.h"
+
+using namespace pts;
+
+namespace {
+
+struct Instance {
+  std::unique_ptr<Synthesizer> synth;
+  std::string last_error;
+};
+
+Instance* as_inst(void* h) { return reinterpret_cast<Instance*>(h); }
+
+std::mutex g_mutex;
+std::unique_ptr<Instance> g_default;
+
+Instance* default_inst() { return g_default.get(); }
+
+}  // namespace
+
+extern "C" {
+
+// ----------------------------------------------------------------- handles
+
+void* pts_create(const char* speaker_path) {
+  std::string err;
+  Speaker spk = Speaker::load(speaker_path ? speaker_path : "", &err);
+  if (spk.name == "<error>") return nullptr;
+  auto inst = new Instance();
+  inst->synth = std::make_unique<Synthesizer>(std::move(spk));
+  return inst;
+}
+
+void pts_destroy(void* h) { delete as_inst(h); }
+
+int pts_reset_h(void* h) {
+  if (!h) return 1;
+  as_inst(h)->synth->reset();
+  return 0;
+}
+
+int pts_synth_block_h(void* h, const double* tract, const double* glottis,
+                      int n_frames, int frame_steps, double* audio) {
+  if (!h) return 1;
+  return as_inst(h)->synth->synth_block(tract, glottis, n_frames, frame_steps,
+                                        audio);
+}
+
+int pts_add_tract_h(void* h, int n_samples, double* audio,
+                    const double* tract, const double* glottis) {
+  if (!h) return 1;
+  return as_inst(h)->synth->add_tract(n_samples, audio, tract, glottis);
+}
+
+int pts_tract_to_tube_h(void* h, const double* tract, double* tube_length,
+                        double* tube_area, int* articulator,
+                        double* incisor_pos, double* tongue_tip_side,
+                        double* velum_opening) {
+  if (!h) return 1;
+  Tube tube;
+  tract_to_tube(as_inst(h)->synth->speaker(), tract, &tube);
+  std::memcpy(tube_length, tube.length_cm.data(), sizeof(double) * kTubeSections);
+  std::memcpy(tube_area, tube.area_cm2.data(), sizeof(double) * kTubeSections);
+  std::memcpy(articulator, tube.articulator.data(), sizeof(int) * kTubeSections);
+  *incisor_pos = tube.incisor_pos_cm;
+  *tongue_tip_side = tube.tongue_tip_side_elevation;
+  *velum_opening = tube.velum_opening_cm2;
+  return 0;
+}
+
+// ----------------------------------------------------- default instance API
+
+int pts_initialize(const char* speaker_path) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  std::string err;
+  Speaker spk = Speaker::load(speaker_path ? speaker_path : "", &err);
+  if (spk.name == "<error>") return 3;
+  g_default = std::make_unique<Instance>();
+  g_default->synth = std::make_unique<Synthesizer>(std::move(spk));
+  return 0;
+}
+
+int pts_close() {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  g_default.reset();
+  return 0;
+}
+
+int pts_get_version(char* buf, int buf_len) {
+  static const char* kVersion = "paule_tpu-synth 1.0 (2026)";
+  if (!buf || buf_len <= 0) return 1;
+  std::strncpy(buf, kVersion, buf_len - 1);
+  buf[buf_len - 1] = '\0';
+  return 0;
+}
+
+int pts_get_constants(int* audio_sampling_rate, int* n_tube_sections,
+                      int* n_tract_params, int* n_glottis_params,
+                      int* n_samples_per_state, double* internal_rate) {
+  if (audio_sampling_rate) *audio_sampling_rate = kAudioSampleRate;
+  if (n_tube_sections) *n_tube_sections = kTubeSections;
+  if (n_tract_params) *n_tract_params = kTractParams;
+  if (n_glottis_params) *n_glottis_params = kGlottisParams;
+  if (n_samples_per_state) *n_samples_per_state = kSamplesPerState;
+  if (internal_rate) *internal_rate = kInternalSampleRate;
+  return 0;
+}
+
+static int param_info(const std::vector<ParamInfo>& tab, char* names,
+                      int names_len, double* mins, double* maxs,
+                      double* neutrals) {
+  std::string joined;
+  for (size_t i = 0; i < tab.size(); ++i) {
+    joined += tab[i].name;
+    if (i + 1 < tab.size()) joined += " ";
+    if (mins) mins[i] = tab[i].min;
+    if (maxs) maxs[i] = tab[i].max;
+    if (neutrals) neutrals[i] = tab[i].neutral;
+  }
+  if (names && names_len > 0) {
+    std::strncpy(names, joined.c_str(), names_len - 1);
+    names[names_len - 1] = '\0';
+  }
+  return 0;
+}
+
+int pts_get_tract_param_info(char* names, int names_len, double* mins,
+                             double* maxs, double* neutrals) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return param_info(inst->synth->speaker().tract_params, names, names_len,
+                    mins, maxs, neutrals);
+}
+
+int pts_get_glottis_param_info(char* names, int names_len, double* mins,
+                               double* maxs, double* neutrals) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return param_info(inst->synth->speaker().glottis_params, names, names_len,
+                    mins, maxs, neutrals);
+}
+
+int pts_synthesis_reset() {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  inst->synth->reset();
+  return 0;
+}
+
+int pts_synth_block(const double* tract, const double* glottis, int n_frames,
+                    int frame_steps, double* audio) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return inst->synth->synth_block(tract, glottis, n_frames, frame_steps,
+                                  audio);
+}
+
+int pts_synthesis_add_tract(int n_samples, double* audio, const double* tract,
+                            const double* glottis) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return inst->synth->add_tract(n_samples, audio, tract, glottis);
+}
+
+int pts_tract_to_tube(const double* tract, double* tube_length,
+                      double* tube_area, int* articulator,
+                      double* incisor_pos, double* tongue_tip_side,
+                      double* velum_opening) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return pts_tract_to_tube_h(inst, tract, tube_length, tube_area, articulator,
+                             incisor_pos, tongue_tip_side, velum_opening);
+}
+
+int pts_export_tract_svg(const double* tract, const char* path) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return export_tract_svg(inst->synth->speaker(), tract, path ? path : "");
+}
+
+int pts_segment_sequence_to_gestural_score(const char* seg_path,
+                                           const char* ges_path) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  std::string err;
+  return segment_file_to_gesture_file(inst->synth->speaker(),
+                                      seg_path ? seg_path : "",
+                                      ges_path ? ges_path : "", &err);
+}
+
+int pts_gestural_score_to_tract_sequence(const char* ges_path,
+                                         const char* seq_path) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  std::string err;
+  return gesture_file_to_tract_sequence(inst->synth->speaker(),
+                                        ges_path ? ges_path : "",
+                                        seq_path ? seq_path : "", &err);
+}
+
+int pts_tract_sequence_to_ema_and_mesh(const double* tract,
+                                       const double* glottis,
+                                       int n_tract_params,
+                                       int n_glottis_params, int n_frames,
+                                       int n_ema, const int* surf,
+                                       const int* vert, const char* path,
+                                       const char* prefix) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  if (n_tract_params != kTractParams || n_glottis_params != kGlottisParams)
+    return 2;
+  return tract_seq_to_ema_and_mesh(inst->synth->speaker(), tract, glottis,
+                                   n_frames, n_ema, surf, vert,
+                                   path ? path : "", prefix ? prefix : "out");
+}
+
+}  // extern "C"

@@ -1,0 +1,674 @@
+// paule_tpu articulatory synthesizer — core model implementation.
+// See model.h for the design overview.
+
+#include "model.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+
+namespace pts {
+
+namespace {
+
+double clampd(double v, double lo, double hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+double gauss(double x, double c, double w) {
+  double z = (x - c) / w;
+  return std::exp(-0.5 * z * z);
+}
+
+double lerp(double a, double b, double t) { return a + (b - a) * t; }
+
+// piecewise-linear profile evaluation over anchor arrays
+double profile(const double* xs, const double* ys, int n, double x) {
+  if (x <= xs[0]) return ys[0];
+  for (int i = 1; i < n; ++i) {
+    if (x <= xs[i]) {
+      double t = (x - xs[i - 1]) / (xs[i] - xs[i - 1]);
+      return lerp(ys[i - 1], ys[i], t);
+    }
+  }
+  return ys[n - 1];
+}
+
+// xorshift32 white noise in [-1, 1]
+double white(uint32_t* s) {
+  uint32_t x = *s;
+  x ^= x << 13;
+  x ^= x >> 17;
+  x ^= x << 5;
+  *s = x;
+  return (double)(int32_t)x / 2147483648.0;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Speaker
+// ---------------------------------------------------------------------------
+
+static ParamInfo P(const char* n, const char* d, const char* u, double mn,
+                   double mx, double ne) {
+  return ParamInfo{n, d, u, mn, mx, ne};
+}
+
+Speaker Speaker::builtin_default() {
+  Speaker s;
+  s.tract_params = {
+      P("HX", "Hyoid position (horz.)", "cm", 0.0, 1.0, 1.0),
+      P("HY", "Hyoid position (vert.)", "cm", -6.0, -3.5, -4.75),
+      P("JX", "Jaw position (horz.)", "cm", -0.5, 0.0, 0.0),
+      P("JA", "Jaw angle", "deg", -7.0, 0.0, -2.0),
+      P("LP", "Lip protrusion", "cm", -1.0, 1.0, -0.07),
+      P("LD", "Lip distance", "cm", -2.0, 4.0, 0.95),
+      P("VS", "Velum shape", "", 0.0, 1.0, 0.0),
+      P("VO", "Velum opening", "cm^2", -0.1, 1.0, -0.1),
+      P("TCX", "Tongue body (horz.)", "cm", -3.0, 4.0, -0.4),
+      P("TCY", "Tongue body (vert.)", "cm", -3.0, 1.0, -1.46),
+      P("TTX", "Tongue tip (horz.)", "cm", 1.5, 5.5, 3.5),
+      P("TTY", "Tongue tip (vert.)", "cm", -3.0, 2.5, -1.0),
+      P("TBX", "Tongue blade (horz.)", "cm", -3.0, 4.0, 2.0),
+      P("TBY", "Tongue blade (vert.)", "cm", -3.0, 5.0, 0.5),
+      P("TRX", "Tongue root (horz.)", "cm", -4.0, 2.0, 0.0),
+      P("TRY", "Tongue root (vert.)", "cm", -6.0, 0.0, 0.0),
+      P("TS1", "Tongue side elevation 1", "", 0.0, 1.0, 0.0),
+      P("TS2", "Tongue side elevation 2", "", 0.0, 1.0, 0.0),
+      P("TS3", "Tongue side elevation 3", "", -1.0, 1.0, 0.0),
+  };
+  s.glottis_params = {
+      P("F0", "Fundamental frequency", "Hz", 40.0, 600.0, 120.0),
+      P("PR", "Subglottal pressure", "Pa", 0.0, 20000.0, 8000.0),
+      P("XB", "Lower fold displacement", "cm", -0.05, 0.30, 0.02),
+      P("XT", "Upper fold displacement", "cm", -0.05, 0.30, 0.02),
+      P("CA", "Chink area", "cm^2", -0.25, 0.25, 0.02),
+      P("LAG", "Phase lag", "rad", 0.0, 3.1415, 1.5708),
+      P("RA", "Relative amplitude", "", -1.0, 1.0, 1.0),
+      P("DP", "Double pulsing", "", 0.0, 1.0, 0.05),
+      P("PS", "Pulse skewness", "", -0.5, 0.5, 0.0),
+      P("FL", "Flutter", "%", 0.0, 100.0, 25.0),
+      P("AS", "Aspiration strength", "dB", -40.0, 0.0, -40.0),
+  };
+
+  // phone target inventory for the segment/gesture pipeline: neutral values
+  // everywhere, with the distinguishing articulations set per phone
+  auto base = [&]() {
+    std::array<double, 30> t{};
+    for (int i = 0; i < kTractParams; ++i) t[i] = s.tract_params[i].neutral;
+    for (int i = 0; i < kGlottisParams; ++i)
+      t[kTractParams + i] = s.glottis_params[i].neutral;
+    return t;
+  };
+  auto add = [&](const char* name, bool voiced, double tau,
+                 std::initializer_list<std::pair<int, double>> mods) {
+    Speaker::Phone ph;
+    ph.name = name;
+    ph.voiced = voiced;
+    ph.time_constant_s = tau;
+    ph.target = base();
+    if (!voiced) {
+      ph.target[21] = 0.10;   // XB abducted
+      ph.target[22] = 0.25;   // XT abducted
+      ph.target[23] = 0.05;   // CA
+      ph.target[29] = -12.0;  // AS aspiration on
+    }
+    for (auto& m : mods) ph.target[m.first] = m.second;
+    s.phones.push_back(ph);
+    return s.phones.size() - 1;
+  };
+
+  // vowels                      JA        TCX      TCY     LD       LP
+  add("a", true, 0.018, {{3, -5.0}, {8, 1.0}, {9, -2.2}, {5, 1.4}});
+  add("e", true, 0.018, {{3, -3.0}, {8, 1.5}, {9, -0.3}, {5, 1.0}});
+  add("i", true, 0.018, {{3, -1.5}, {8, 2.2}, {9, 0.5}, {5, 0.8}});
+  add("o", true, 0.018, {{3, -3.5}, {8, -1.2}, {9, -0.6}, {5, 0.8}, {4, 0.5}});
+  add("u", true, 0.018, {{3, -1.8}, {8, -1.6}, {9, 0.2}, {5, 0.4}, {4, 0.8}});
+  add("@", true, 0.018, {});
+  // plosives: lips / tip / body closures
+  add("p", false, 0.010, {{5, -0.8}});
+  add("b", true, 0.010, {{5, -0.8}});
+  add("t", false, 0.010, {{11, 2.2}});
+  add("d", true, 0.010, {{11, 2.2}});
+  add("k", false, 0.010, {{8, -0.5}, {9, 0.95}});
+  add("g", true, 0.010, {{8, -0.5}, {9, 0.95}});
+  // nasals: closure + open velum
+  add("m", true, 0.012, {{5, -0.8}, {7, 0.8}});
+  add("n", true, 0.012, {{11, 2.2}, {7, 0.8}});
+  add("N", true, 0.012, {{8, -0.5}, {9, 0.95}, {7, 0.8}});
+  // fricatives: narrow constrictions
+  add("f", false, 0.012, {{5, 0.08}});
+  add("v", true, 0.012, {{5, 0.08}});
+  add("s", false, 0.012, {{11, 1.3}});
+  add("z", true, 0.012, {{11, 1.3}});
+  add("S", false, 0.012, {{13, 3.6}, {11, 1.0}});
+  // approximants
+  add("l", true, 0.014, {{11, 2.2}, {18, -0.8}});
+  add("r", true, 0.014, {{11, 0.9}, {14, -2.0}});
+  add("j", true, 0.014, {{8, 2.0}, {9, 0.3}});
+  add("w", true, 0.014, {{8, -1.4}, {9, 0.1}, {5, 0.3}, {4, 0.8}});
+  add("h", false, 0.012, {});
+  // silence: no pressure
+  add("_", true, 0.012, {{20, 0.0}});
+  return s;
+}
+
+const Speaker::Phone* Speaker::find_phone(const std::string& name) const {
+  for (auto& p : phones)
+    if (p.name == name) return &p;
+  return nullptr;
+}
+
+void Speaker::clamp_tract(double* p) const {
+  for (int i = 0; i < kTractParams && i < (int)tract_params.size(); ++i)
+    p[i] = clampd(p[i], tract_params[i].min, tract_params[i].max);
+}
+
+Speaker Speaker::load(const std::string& path, std::string* err) {
+  // speaker files are an INI-like override of the builtin anatomy; the
+  // builtin is used directly for "" or "default"
+  Speaker s = builtin_default();
+  if (path.empty() || path == "default") return s;
+  std::ifstream fh(path);
+  if (!fh) {
+    if (err) *err = "cannot open speaker file: " + path;
+    s.name = "<error>";
+    return s;
+  }
+  std::string line, section;
+  while (std::getline(fh, line)) {
+    // strip comments / whitespace
+    auto hash = line.find('#');
+    if (hash != std::string::npos) line = line.substr(0, hash);
+    std::istringstream ls(line);
+    std::string tok;
+    if (!(ls >> tok)) continue;
+    if (tok.size() > 1 && tok.front() == '[') {
+      section = tok.substr(1, tok.size() - 2);
+      continue;
+    }
+    if (section == "meta" && tok == "name") {
+      std::string eq;
+      ls >> eq >> s.name;
+    } else if (section == "anatomy") {
+      std::string eq;
+      double v;
+      ls >> eq >> v;
+      if (tok == "base_length_cm") s.base_length_cm = v;
+      if (tok == "fold_length_cm") s.fold_length_cm = v;
+      if (tok == "nasal_length_cm") s.nasal_length_cm = v;
+    } else if (section == "tract_params" || section == "glottis_params") {
+      // "<index> <name> <min> <max> <neutral>"
+      int idx = std::stoi(tok);
+      std::string nm;
+      double mn, mx, ne;
+      if (ls >> nm >> mn >> mx >> ne) {
+        auto& tab = (section == "tract_params") ? s.tract_params : s.glottis_params;
+        if (idx >= 0 && idx < (int)tab.size()) {
+          tab[idx].name = nm;
+          tab[idx].min = mn;
+          tab[idx].max = mx;
+          tab[idx].neutral = ne;
+        }
+      }
+    } else if (section == "phones") {
+      // "<name> <voiced 0|1> <tau_s> <30 target values>"
+      Speaker::Phone ph;
+      ph.name = tok;
+      int voiced;
+      ls >> voiced >> ph.time_constant_s;
+      ph.voiced = voiced != 0;
+      bool ok = true;
+      for (int i = 0; i < 30; ++i)
+        if (!(ls >> ph.target[i])) {
+          ok = false;
+          break;
+        }
+      if (ok) {
+        // replace or append
+        bool replaced = false;
+        for (auto& existing : s.phones)
+          if (existing.name == ph.name) {
+            existing = ph;
+            replaced = true;
+          }
+        if (!replaced) s.phones.push_back(ph);
+      }
+    }
+  }
+  return s;
+}
+
+// ---------------------------------------------------------------------------
+// tract model: 19 parameters -> sagittal distance profile -> tube
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// rest sagittal distance d(x) and effective width w(x) along the normalized
+// tract axis (0 = glottis, 1 = lips)
+constexpr int kNP = 11;
+constexpr double kPX[kNP] = {0.00, 0.06, 0.12, 0.25, 0.40, 0.50,
+                             0.62, 0.75, 0.85, 0.92, 1.00};
+constexpr double kPD[kNP] = {0.40, 0.90, 1.30, 1.50, 1.40, 1.30,
+                             1.20, 1.10, 0.90, 0.80, 0.70};
+constexpr int kNW = 6;
+constexpr double kWX[kNW] = {0.00, 0.12, 0.45, 0.75, 0.92, 1.00};
+constexpr double kWW[kNW] = {1.20, 2.00, 3.20, 2.80, 2.00, 1.40};
+
+struct TractGeometry {
+  double length_cm;
+  // evaluated distance/width at a position
+  double d(double x) const;
+  double w(double x) const { return profile(kWX, kWW, kNW, x); }
+  // articulation state derived from params
+  double jaw_open, lip_dist, velum_open, vs;
+  double c_body, p_body, c_blade, p_blade, c_tip, p_tip, c_root, p_root;
+  double try_narrow;
+  double ts1, ts2, ts3;
+};
+
+TractGeometry make_geometry(const Speaker& spk, const double* q) {
+  TractGeometry g;
+  const double HX = q[0], HY = q[1], JX = q[2], JA = q[3], LP = q[4],
+               LD = q[5], VS = q[6], VO = q[7], TCX = q[8], TCY = q[9],
+               TTX = q[10], TTY = q[11], TBX = q[12], TBY = q[13],
+               TRX = q[14], TRY = q[15], TS1 = q[16], TS2 = q[17],
+               TS3 = q[18];
+
+  g.length_cm = spk.base_length_cm + 0.5 * HX - 0.6 * (HY + 4.75) +
+                0.8 * std::max(LP, 0.0) + 0.2 * std::min(LP, 0.0);
+  g.jaw_open = (-JA) / 7.0;             // 0 closed .. 1 open
+  g.lip_dist = LD;
+  g.velum_open = std::max(VO, 0.0);
+  g.vs = VS;
+
+  g.c_body = 0.60 + 0.030 * TCX + 0.008 * JX;
+  g.p_body = clampd((TCY + 3.0) / 4.0, 0.0, 1.1);
+  g.c_blade = 0.72 + 0.020 * TBX + 0.008 * JX;
+  g.p_blade = clampd((TBY + 3.0) / 8.0, 0.0, 1.1);
+  g.c_tip = 0.82 + 0.018 * TTX + 0.010 * JX;
+  g.p_tip = clampd((TTY + 3.0) / 5.5, 0.0, 1.1);
+  g.c_root = 0.30;
+  g.p_root = clampd((2.0 - TRX) / 6.0, 0.0, 1.1);
+  g.try_narrow = std::max(0.0, -(TRY + 3.0) / 3.0);
+  g.ts1 = clampd(TS1, 0.0, 1.0);
+  g.ts2 = clampd(TS2, 0.0, 1.0);
+  g.ts3 = clampd(TS3, -1.0, 1.0);
+  return g;
+}
+
+double TractGeometry::d(double x) const {
+  double dist = profile(kPX, kPD, kNP, x);
+  // tongue constrictions (Gaussian approach of articulator to outer wall);
+  // the proximity nonlinearity keeps vowel articulations open while extreme
+  // positions (stops) still reach full closure.  The tongue is one surface:
+  // its members combine by max, not by sum.
+  double body = 1.60 * std::pow(p_body, 3.0) * gauss(x, c_body, 0.12);
+  double blade = 1.50 * std::pow(p_blade, 2.0) * gauss(x, c_blade, 0.08);
+  double tip = 1.30 * std::pow(p_tip, 2.0) * gauss(x, c_tip, 0.05);
+  double root = (0.70 * p_root * p_root + 0.25 * try_narrow) * gauss(x, c_root, 0.10);
+  dist -= std::max(std::max(body, blade), std::max(tip, root));
+  // velum lowering narrows the velar passage slightly
+  dist -= 0.30 * vs * gauss(x, 0.50, 0.05);
+  // jaw opening adds distance in the oral region
+  double taper = clampd((x - 0.55) / 0.35, 0.0, 1.0);
+  dist += 0.9 * (jaw_open - 2.0 / 7.0) * taper;
+  // lips: blend toward the lip-distance aperture near the mouth opening
+  // (the LD parameter is itself a sagittal distance in cm)
+  double ls = clampd((x - 0.90) / 0.07, 0.0, 1.0);
+  dist = lerp(dist, 0.8 * lip_dist, ls);
+  return dist;
+}
+
+}  // namespace
+
+void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube) {
+  std::array<double, kTractParams> q;
+  std::memcpy(q.data(), tract, sizeof(q));
+  spk.clamp_tract(q.data());
+  TractGeometry g = make_geometry(spk, q.data());
+
+  const double sec_len = g.length_cm / kTubeSections;
+  for (int i = 0; i < kTubeSections; ++i) {
+    double x = (i + 0.5) / kTubeSections;
+    double dist = std::max(g.d(x), 0.0);
+    double area = g.w(x) * std::pow(dist, 1.3);
+    // tongue side elevation reduces lateral area in its zone; a negative
+    // TS3 (lowered sides) keeps a lateral bypass open at the tip
+    area *= 1.0 - 0.45 * g.ts1 * gauss(x, 0.58, 0.10);
+    area *= 1.0 - 0.45 * g.ts2 * gauss(x, 0.72, 0.08);
+    if (g.ts3 > 0)
+      area *= 1.0 - 0.45 * g.ts3 * gauss(x, 0.83, 0.06);
+    else
+      area += 0.35 * (-g.ts3) * gauss(x, 0.83, 0.06);
+    tube->length_cm[i] = sec_len;
+    tube->area_cm2[i] = clampd(area, 0.0, 15.0);
+    if (x < 0.03)
+      tube->articulator[i] = kVocalFolds;
+    else if (x < 0.32)
+      tube->articulator[i] = kOtherArticulator;
+    else if (x < 0.86)
+      tube->articulator[i] = kTongue;
+    else if (x < 0.93)
+      tube->articulator[i] = kLowerIncisors;
+    else
+      tube->articulator[i] = kLowerLip;
+  }
+  tube->total_length_cm = g.length_cm;
+  tube->incisor_pos_cm = clampd(g.length_cm * 0.90 + 0.8 + 0.4 * q[2], 14.0, 18.0);
+  tube->tongue_tip_side_elevation = g.ts3;
+  tube->velum_opening_cm2 = clampd(g.velum_open, 0.0, 1.0);
+}
+
+void tract_to_outline(const Speaker& spk, const double* tract, Outline* out) {
+  std::array<double, kTractParams> q;
+  std::memcpy(q.data(), tract, sizeof(q));
+  spk.clamp_tract(q.data());
+  TractGeometry g = make_geometry(spk, q.data());
+
+  // midline: quarter-circle bend from vertical (pharynx) to horizontal
+  // (oral cavity); arc length = tract length
+  const int n = 64;
+  out->mid_x.resize(n);
+  out->mid_y.resize(n);
+  out->out_x.resize(n);
+  out->out_y.resize(n);
+  out->in_x.resize(n);
+  out->in_y.resize(n);
+  const double L = g.length_cm;
+  const double bend_r = 3.0;  // cm, radius of the pharynx->oral bend
+  const double straight = (L - M_PI / 2.0 * bend_r) / 2.0;
+  for (int i = 0; i < n; ++i) {
+    double s = L * i / (n - 1);
+    double x, y, nx, ny;  // position + outward normal
+    if (s < straight) {  // vertical pharynx segment going up
+      x = 0.0;
+      y = s;
+      nx = -1.0;
+      ny = 0.0;
+    } else if (s < straight + M_PI / 2.0 * bend_r) {  // bend
+      double a = (s - straight) / bend_r;  // 0..pi/2
+      x = bend_r - bend_r * std::cos(a);
+      y = straight + bend_r * std::sin(a);
+      nx = -std::cos(a);
+      ny = std::sin(a);
+    } else {  // horizontal oral segment going forward
+      x = bend_r + (s - straight - M_PI / 2.0 * bend_r);
+      y = straight + bend_r;
+      nx = 0.0;
+      ny = 1.0;
+    }
+    double xr = (double)i / (n - 1);
+    double dd = std::max(g.d(xr), 0.0);
+    out->mid_x[i] = x;
+    out->mid_y[i] = y;
+    out->out_x[i] = x + nx * dd / 2.0;
+    out->out_y[i] = y + ny * dd / 2.0;
+    out->in_x[i] = x - nx * dd / 2.0;
+    out->in_y[i] = y - ny * dd / 2.0;
+  }
+  // virtual tongue sensors: inner wall at the back/mid/tip tongue zones
+  const double zones[3] = {0.55, 0.70, 0.84};
+  for (int k = 0; k < 3; ++k) {
+    int i = (int)std::round(zones[k] * (n - 1));
+    out->tongue_sensors[k] = {out->in_x[i], out->in_y[i], 0.0};
+  }
+}
+
+// ---------------------------------------------------------------------------
+// glottis
+// ---------------------------------------------------------------------------
+
+void GlottisState::reset() {
+  phase = 0.0;
+  pulse_index = 0;
+  noise_state = 0x9e3779b9u;
+  asp_lp = 0.0;
+}
+
+double GlottisState::step(const Speaker& spk, const double* gp,
+                          double* area_out) {
+  const double F0 = clampd(gp[0], 0.0, 600.0);
+  const double PR = std::max(gp[1], 0.0);
+  const double XB = gp[2], XT = gp[3];
+  const double CA = gp[4], LAG = gp[5], RA = gp[6], DP = gp[7], PS = gp[8],
+               FL = gp[9], AS = gp[10];
+
+  // flutter: slow quasi-random f0 modulation (Klatt-style three-sine)
+  double t = (double)pulse_index / std::max(F0, 1.0) +
+             phase / std::max(F0, 1.0);
+  double flut = (FL / 50.0) * 0.01 *
+                (std::sin(2 * M_PI * 12.7 * t) + std::sin(2 * M_PI * 7.1 * t) +
+                 std::sin(2 * M_PI * 4.7 * t)) / 3.0;
+  double f0 = F0 * (1.0 + flut);
+
+  phase += f0 / kInternalSampleRate;
+  if (phase >= 1.0) {
+    phase -= 1.0;
+    pulse_index++;
+  }
+
+  // asymmetric glottal oscillation in [0, 1]: slow opening, fast closure
+  // (the abrupt closing phase is what gives voiced speech its harmonic
+  // richness); PS (pulse skewness) modulates the asymmetry exponent
+  double skew = 1.6 + PS;
+  auto osc_fn = [skew](double p) {
+    p -= std::floor(p);
+    return std::pow(std::sin(M_PI * std::pow(p, skew)), 2.0);
+  };
+  double osc_b = osc_fn(phase);
+  double osc_t = osc_fn(phase - LAG / (2.0 * M_PI));
+
+  double amp_mod = 1.0 - 0.5 * DP * (double)(pulse_index & 1u);
+  double a = 0.16 * amp_mod * (0.3 + 0.7 * (RA + 1.0) / 2.0) *
+             std::sqrt(PR / 8000.0);
+
+  // fold edge displacements oscillate around the rest displacement; the
+  // "- 0.3 a" offset produces a closed phase for adducted folds
+  double x_b = XB + a * (osc_b - 0.3);
+  double x_t = XT + a * (osc_t - 0.3);
+  double a_fold = 2.0 * spk.fold_length_cm * std::max(0.0, std::min(x_b, x_t));
+  double a_g = a_fold + std::max(0.0, CA);
+  if (area_out) *area_out = a_g;
+
+  // Bernoulli flow (cgs): u = A * sqrt(2 dP / rho), dP in dyn/cm^2
+  double u = a_g * std::sqrt(2.0 * PR * 10.0 / 1.14e-3);
+
+  // aspiration noise, lowpassed, gated by opening and pressure
+  double n = white(&noise_state);
+  asp_lp += 0.25 * (n - asp_lp);
+  double asp_gain = std::pow(10.0, AS / 20.0);
+  double asp = asp_lp * asp_gain * 1.3 * std::sqrt(std::max(u, 0.0)) *
+               std::sqrt(a_g + 0.01);
+
+  return u + asp * 40.0;
+}
+
+// ---------------------------------------------------------------------------
+// waveguide
+// ---------------------------------------------------------------------------
+
+void Waveguide::reset() {
+  fwd_.fill(0.0);
+  bwd_.fill(0.0);
+  nfwd_.fill(0.0);
+  nbwd_.fill(0.0);
+  lip_lp_ = lip_out_prev_ = radiated_prev_ = nose_lp_ = fric_lp_ = 0.0;
+}
+
+double Waveguide::step(const Tube& tube, double glottal_flow, double) {
+  constexpr int M = kTubeSections;
+  constexpr double kAreaFloor = 1e-4;
+  constexpr double kDamp = 0.996;
+  constexpr double kGlottisRefl = 0.96;
+  constexpr double kFlowScale = 4.0e-4;  // flow (cm^3/s) -> wave amplitude
+
+  double A[M];
+  for (int i = 0; i < M; ++i) A[i] = std::max(tube.area_cm2[i], kAreaFloor);
+
+  // nasal branch geometry: smooth fixed profile, port area = velum opening
+  constexpr int NN = kNasalSections;
+  static const double nasal_area[NN] = {1.5, 2.2, 3.0, 3.6, 4.0, 4.0, 3.6,
+                                        3.0, 2.4, 2.0, 1.6, 1.3, 1.1, 1.0};
+  const double a_port = tube.velum_opening_cm2;
+  const int iv = (int)(0.48 * M);  // velar junction index
+
+  double newf[M], newb[M];
+
+  // source at the glottal end (pressure wave from glottal volume velocity)
+  double src = glottal_flow * kFlowScale / std::sqrt(A[0]);
+  newf[0] = kGlottisRefl * bwd_[0] * kDamp + src;
+
+  // lip end: lowpassed, area-dependent radiation reflection (a wider mouth
+  // opening reflects less and radiates more); radiated sound is the
+  // differentiated transmitted pressure
+  double lip_in = fwd_[M - 1] * kDamp;
+  lip_lp_ += 0.55 * (lip_in - lip_lp_);
+  double lip_refl = -(0.95 - 0.10 * std::sqrt(A[M - 1]));
+  newb[M - 1] = lip_refl * lip_lp_;
+  double lip_out = lip_in + newb[M - 1];
+
+  // interior scattering junctions
+  for (int i = 0; i < M - 1; ++i) {
+    double k = (A[i] - A[i + 1]) / (A[i] + A[i + 1]);
+    double fi = fwd_[i] * kDamp;
+    double bi1 = bwd_[i + 1] * kDamp;
+    if (i == iv && a_port > 1e-4) {
+      // three-port junction with the nasal tract (admittances ~ areas)
+      double nb0 = nbwd_[0] * kDamp;
+      double y1 = A[i], y2 = A[i + 1], y3 = a_port;
+      double pj = 2.0 * (y1 * fi + y2 * bi1 + y3 * nb0) / (y1 + y2 + y3);
+      newb[i] = pj - fi;
+      newf[i + 1] = pj - bi1;
+      nfwd_[0] = pj - nb0;
+    } else {
+      newf[i + 1] = (1.0 + k) * fi - k * bi1;
+      newb[i] = k * fi + (1.0 - k) * bi1;
+    }
+  }
+
+  // nasal tract propagation + nostril radiation
+  double nose_out = 0.0;
+  if (a_port > 1e-4 || std::abs(nfwd_[0]) > 1e-12) {
+    double nf[NN], nb[NN];
+    nf[0] = nfwd_[0];
+    double nose_in = nfwd_[NN - 1] * kDamp;
+    nose_lp_ += 0.45 * (nose_in - nose_lp_);
+    nb[NN - 1] = -0.80 * nose_lp_;
+    nose_out = nose_in + nb[NN - 1];
+    for (int i = 0; i < NN - 1; ++i) {
+      double k = (nasal_area[i] - nasal_area[i + 1]) /
+                 (nasal_area[i] + nasal_area[i + 1]);
+      double fi = nfwd_[i] * kDamp;
+      double bi1 = nbwd_[i + 1] * kDamp;
+      nf[i + 1] = (1.0 + k) * fi - k * bi1;
+      nb[i] = k * fi + (1.0 - k) * bi1;
+    }
+    std::memcpy(nfwd_.data(), nf, sizeof(nf));
+    std::memcpy(nbwd_.data(), nb, sizeof(nb));
+  }
+
+  // frication: inject bandlimited noise downstream of a narrow supraglottal
+  // constriction, scaled by the local flow estimate
+  int im = M / 4;
+  double amin = 1e9;
+  for (int i = M / 4; i < M; ++i)
+    if (A[i] < amin) {
+      amin = A[i];
+      im = i;
+    }
+  if (amin < 0.4) {
+    double u_c = (fwd_[im] - bwd_[im]);
+    double n = white(&noise_state_);
+    fric_lp_ += 0.55 * (n - fric_lp_);
+    double band = n - fric_lp_;  // highpassed noise
+    double amp = (0.4 - amin) / 0.4;
+    int inj = std::min(im + 1, M - 1);
+    // saturating level estimate: no positive feedback loop possible
+    double level = std::tanh(3.0 * std::abs(u_c));
+    newf[inj] += band * amp * level * 0.25;
+  }
+
+  std::memcpy(fwd_.data(), newf, sizeof(newf));
+  std::memcpy(bwd_.data(), newb, sizeof(newb));
+
+  // radiation: differentiate, add nasal output, DC-block
+  double pressure = lip_out + 0.8 * nose_out;
+  double radiated = pressure - lip_out_prev_ + 0.995 * radiated_prev_;
+  lip_out_prev_ = pressure;
+  radiated_prev_ = radiated;
+  return radiated;
+}
+
+// ---------------------------------------------------------------------------
+// synthesizer
+// ---------------------------------------------------------------------------
+
+void Synthesizer::reset() {
+  wg_.reset();
+  glottis_state_.reset();
+  has_state_ = false;
+  cur_tract_.fill(0.0);
+  cur_glottis_.fill(0.0);
+}
+
+void Synthesizer::synth_ramp(const double* tract0, const double* glottis0,
+                             const double* tract1, const double* glottis1,
+                             int n, double* audio) {
+  Tube t0, t1;
+  tract_to_tube(speaker_, tract0, &t0);
+  tract_to_tube(speaker_, tract1, &t1);
+  Tube t = t0;
+  double gp[kGlottisParams];
+  for (int s = 0; s < n; ++s) {
+    double a = (n <= 1) ? 1.0 : (double)(s + 1) / n;
+    for (int i = 0; i < kTubeSections; ++i) {
+      t.area_cm2[i] = lerp(t0.area_cm2[i], t1.area_cm2[i], a);
+      t.length_cm[i] = lerp(t0.length_cm[i], t1.length_cm[i], a);
+    }
+    t.velum_opening_cm2 = lerp(t0.velum_opening_cm2, t1.velum_opening_cm2, a);
+    for (int i = 0; i < kGlottisParams; ++i)
+      gp[i] = lerp(glottis0[i], glottis1[i], a);
+    double flow = glottis_state_.step(speaker_, gp, nullptr);
+    audio[s] = wg_.step(t, flow, 0.0);
+  }
+}
+
+int Synthesizer::synth_block(const double* tract, const double* glottis,
+                             int n_frames, int frame_steps, double* audio) {
+  if (n_frames < 1 || frame_steps < 1) return 2;
+  reset();
+  std::memcpy(cur_tract_.data(), tract, sizeof(cur_tract_));
+  std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
+  has_state_ = true;
+  for (int f = 1; f < n_frames; ++f) {
+    const double* tr = tract + (size_t)f * kTractParams;
+    const double* gl = glottis + (size_t)f * kGlottisParams;
+    synth_ramp(cur_tract_.data(), cur_glottis_.data(), tr, gl, frame_steps,
+               audio + (size_t)(f - 1) * frame_steps);
+    std::memcpy(cur_tract_.data(), tr, sizeof(cur_tract_));
+    std::memcpy(cur_glottis_.data(), gl, sizeof(cur_glottis_));
+  }
+  return 0;
+}
+
+int Synthesizer::add_tract(int n_samples, double* audio, const double* tract,
+                           const double* glottis) {
+  if (!has_state_ || n_samples <= 0) {
+    std::memcpy(cur_tract_.data(), tract, sizeof(cur_tract_));
+    std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
+    has_state_ = true;
+    return 0;
+  }
+  synth_ramp(cur_tract_.data(), cur_glottis_.data(), tract, glottis,
+             n_samples, audio);
+  std::memcpy(cur_tract_.data(), tract, sizeof(cur_tract_));
+  std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
+  return 0;
+}
+
+}  // namespace pts

@@ -1,0 +1,191 @@
+// paule_tpu articulatory synthesizer — core model declarations.
+//
+// A from-scratch C++ articulatory/tube synthesizer providing the functional
+// surface the paule planning stack needs (behavioral equivalent of the
+// VocalTractLab C API used at /root/reference/paule/util.py:175-433):
+//
+//   * geometric vocal-tract model: 19 control parameters -> 40-section tube
+//     (lengths, areas, articulator labels) + incisor position, tongue-tip
+//     side elevation, velum opening
+//   * kinematic "geometric glottis": 11 control parameters -> per-sample
+//     glottal source (area/flow) with flutter, double pulsing, skewness,
+//     chink leakage and aspiration noise
+//   * time-domain acoustics: Kelly-Lochbaum scattering waveguide over the
+//     tube sections with a nasal side branch, wall damping, lip radiation
+//     and constriction (frication) noise, running at 44100 Hz
+//
+// Everything is instance-state (no globals): the C ABI in api.cpp layers a
+// default instance on top for drop-in ctypes use plus handle-based calls for
+// thread-pooled synthesis.
+
+#pragma once
+
+#include <array>
+#include <cstdint>
+#include <string>
+#include <vector>
+
+namespace pts {
+
+constexpr int kAudioSampleRate = 44100;
+constexpr int kTubeSections = 40;
+constexpr int kTractParams = 19;
+constexpr int kGlottisParams = 11;
+constexpr int kSamplesPerState = 110;  // 2.5 ms control frame
+constexpr double kInternalSampleRate = 44100.0;
+
+// articulator labels per tube section (matches the reference's mapping,
+// /root/reference/paule/util.py:84-90)
+enum Articulator : int {
+  kVocalFolds = 0,
+  kTongue = 1,
+  kLowerIncisors = 2,
+  kLowerLip = 3,
+  kOtherArticulator = 4,
+};
+
+struct ParamInfo {
+  std::string name;
+  std::string description;
+  std::string unit;
+  double min, max, neutral;
+};
+
+struct Speaker {
+  std::string name = "default";
+  std::vector<ParamInfo> tract_params;    // 19
+  std::vector<ParamInfo> glottis_params;  // 11
+  // anatomy scalars
+  double base_length_cm = 16.0;
+  double fold_length_cm = 1.4;
+  double nasal_length_cm = 11.4;
+  // phone target table: phone -> 30 parameter targets
+  struct Phone {
+    std::string name;
+    std::array<double, kTractParams + kGlottisParams> target;
+    bool voiced = true;
+    double time_constant_s = 0.015;
+  };
+  std::vector<Phone> phones;
+
+  static Speaker load(const std::string& path, std::string* err);
+  static Speaker builtin_default();
+  const Phone* find_phone(const std::string& name) const;
+  void clamp_tract(double* p) const;
+};
+
+// tube description produced by the tract model
+struct Tube {
+  std::array<double, kTubeSections> length_cm;
+  std::array<double, kTubeSections> area_cm2;
+  std::array<int, kTubeSections> articulator;
+  double incisor_pos_cm;
+  double tongue_tip_side_elevation;
+  double velum_opening_cm2;
+  double total_length_cm;
+};
+
+// midsagittal outline for SVG/EMA export: (x, y) cm coordinates along the
+// tract from glottis to lips, outer wall and inner (tongue/jaw) wall
+struct Outline {
+  std::vector<double> mid_x, mid_y;      // midline
+  std::vector<double> out_x, out_y;      // outer wall
+  std::vector<double> in_x, in_y;        // inner wall
+  // virtual tongue landmark positions (back, mid, tip) in cm, 3-D (z=0 plane
+  // plus lateral coordinate from tongue-side params)
+  std::array<std::array<double, 3>, 3> tongue_sensors;
+};
+
+// 19 tract parameters -> tube + outline
+void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube);
+void tract_to_outline(const Speaker& spk, const double* tract, Outline* out);
+
+// kinematic glottis state
+struct GlottisState {
+  double phase = 0.0;
+  uint32_t pulse_index = 0;
+  uint32_t noise_state = 0x9e3779b9u;
+  double asp_lp = 0.0;  // aspiration noise lowpass state
+  void reset();
+  // advance one sample with the given (possibly interpolated) glottis
+  // params; returns glottal volume velocity (arbitrary consistent units)
+  double step(const Speaker& spk, const double* glottis, double* area_out);
+};
+
+// Kelly-Lochbaum waveguide over the tube sections + nasal branch
+class Waveguide {
+ public:
+  void reset();
+  // synthesize one output sample given the current tube and glottal flow
+  double step(const Tube& tube, double glottal_flow, double noise_seed);
+
+ private:
+  std::array<double, kTubeSections> fwd_{}, bwd_{};
+  static constexpr int kNasalSections = 14;
+  std::array<double, kNasalSections> nfwd_{}, nbwd_{};
+  double lip_lp_ = 0.0, lip_out_prev_ = 0.0, radiated_prev_ = 0.0;
+  double nose_lp_ = 0.0;
+  double fric_lp_ = 0.0;
+  uint32_t noise_state_ = 0x2545f491u;
+};
+
+// full synthesizer instance: owns speaker, interpolation state and engine
+class Synthesizer {
+ public:
+  explicit Synthesizer(Speaker spk) : speaker_(std::move(spk)) { reset(); }
+
+  const Speaker& speaker() const { return speaker_; }
+
+  void reset();
+
+  // vtlSynthBlock equivalent: n_frames states at frame_steps sample spacing,
+  // writes (n_frames - 1) * frame_steps samples into audio
+  int synth_block(const double* tract, const double* glottis, int n_frames,
+                  int frame_steps, double* audio);
+
+  // vtlSynthesisAddTract equivalent: ramp from the current state to the
+  // given state over n_samples (n_samples == 0 just installs the state)
+  int add_tract(int n_samples, double* audio, const double* tract,
+                const double* glottis);
+
+ private:
+  void synth_ramp(const double* tract0, const double* glottis0,
+                  const double* tract1, const double* glottis1, int n,
+                  double* audio);
+
+  Speaker speaker_;
+  Waveguide wg_;
+  GlottisState glottis_state_;
+  bool has_state_ = false;
+  std::array<double, kTractParams> cur_tract_{};
+  std::array<double, kGlottisParams> cur_glottis_{};
+};
+
+// ---------------------------------------------------------------------------
+// file-based pipelines (files.cpp)
+// ---------------------------------------------------------------------------
+
+// parse a segment-sequence file (either "name = X; duration_s = Y;" pairs in
+// the VTL style or simple "phone duration" lines) into a gestural score file
+int segment_file_to_gesture_file(const Speaker& spk, const std::string& seg,
+                                 const std::string& ges, std::string* err);
+
+// render a gestural score into a tract-sequence file (text format readable
+// by the reference's read_cp parser, /root/reference/paule/util.py:149-172)
+int gesture_file_to_tract_sequence(const Speaker& spk, const std::string& ges,
+                                   const std::string& seq, std::string* err);
+
+// gestural score straight to cps in memory
+int gesture_file_to_states(const Speaker& spk, const std::string& ges,
+                           std::vector<double>* states, std::string* err);
+
+int export_tract_svg(const Speaker& spk, const double* tract,
+                     const std::string& path);
+
+int tract_seq_to_ema_and_mesh(const Speaker& spk, const double* tract,
+                              const double* glottis, int n_frames, int n_ema,
+                              const int* surf, const int* vert,
+                              const std::string& dir,
+                              const std::string& prefix);
+
+}  // namespace pts

@@ -1,0 +1,232 @@
+"""Tests for the C++ articulatory synthesizer and its ctypes bridge.
+
+Parity with the reference backend is behavioral (shapes, rates, error codes,
+monotone articulatory response, determinism) — see SURVEY.md §7 "Hard parts"
+item 1."""
+
+import os
+
+import numpy as np
+import pytest
+
+from paule_tpu import synth
+from paule_tpu.ops.normalize import inv_normalize_cp
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _init():
+    synth.initialize()
+
+
+@pytest.fixture(scope="module")
+def neutral_cp():
+    info_t = synth.get_param_info("tract")
+    info_g = synth.get_param_info("glottis")
+    return np.concatenate([info_t["neutrals"], info_g["neutrals"]])
+
+
+def _tile(cp, n):
+    return np.tile(cp, (n, 1))
+
+
+def test_constants_contract():
+    c = synth.get_constants()
+    assert c["audio_sampling_rate"] == 44100
+    assert c["n_tube_sections"] == 40
+    assert c["n_tract_params"] == 19
+    assert c["n_glottis_params"] == 11
+    assert c["n_samples_per_state"] == 110
+
+
+def test_speak_length_contract(neutral_cp):
+    for seq in (2, 11, 100):
+        audio, sr = synth.speak(_tile(neutral_cp, seq))
+        assert sr == 44100
+        assert len(audio) == (seq - 1) * 110
+        assert np.isfinite(audio).all()
+
+
+def test_speak_produces_bounded_voiced_audio(neutral_cp):
+    audio, _ = synth.speak(_tile(neutral_cp, 401))  # 1 second
+    rms = float(np.sqrt((audio**2).mean()))
+    assert 0.005 < rms < 0.5
+    assert np.abs(audio).max() < 2.0
+
+
+def test_zero_pressure_is_silent(neutral_cp):
+    cp = neutral_cp.copy()
+    cp[20] = 0.0  # subglottal pressure
+    audio, _ = synth.speak(_tile(cp, 101))
+    assert np.abs(audio).max() < 1e-3
+
+
+def test_f0_controls_pitch(neutral_cp):
+    def f0_of(audio):
+        seg = audio[11025:44100 - 11025]
+        ac = np.correlate(seg, seg, "full")[len(seg) - 1 :]
+        lo, hi = 44100 // 400, 44100 // 60
+        return 44100.0 / (lo + int(np.argmax(ac[lo:hi])))
+
+    for target in (100.0, 200.0):
+        cp = neutral_cp.copy()
+        cp[19] = target
+        audio, _ = synth.speak(_tile(cp, 401))
+        assert abs(f0_of(audio) - target) / target < 0.1
+
+
+def test_lip_closure_is_monotone(neutral_cp):
+    """closing the lips (LD down) must monotonically shrink the minimum
+    supraglottal area — the monotone articulatory response contract."""
+    mins = []
+    for ld in (2.0, 1.0, 0.5, 0.1, -0.5):
+        tract = neutral_cp[:19].copy()
+        tract[5] = ld
+        _tl, ta, *_ = synth.tract_to_tube(tract)
+        mins.append(ta[20:].min())
+    assert all(a >= b - 1e-12 for a, b in zip(mins, mins[1:]))
+    assert mins[-1] == 0.0  # full closure reachable
+
+
+def test_vowel_articulation_changes_spectrum(neutral_cp):
+    def centroid(audio):
+        seg = audio[8000:40000]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+        freq = np.fft.rfftfreq(len(seg), 1 / 44100)
+        return float((spec * freq).sum() / max(spec.sum(), 1e-12))
+
+    names = synth.get_param_info("tract")["names"]
+    a_cp = neutral_cp.copy()
+    for k, v in {"JA": -5.0, "TCX": 1.0, "TCY": -2.2, "LD": 1.4}.items():
+        a_cp[names.index(k)] = v
+    i_cp = neutral_cp.copy()
+    for k, v in {"JA": -1.5, "TCX": 2.2, "TCY": 0.5, "LD": 0.8}.items():
+        i_cp[names.index(k)] = v
+    c_a = centroid(synth.speak(_tile(a_cp, 401))[0])
+    c_i = centroid(synth.speak(_tile(i_cp, 401))[0])
+    assert c_i > 2.0 * c_a  # front-high vowel has far higher spectral centroid
+
+
+def test_determinism(neutral_cp):
+    a1, _ = synth.speak(_tile(neutral_cp, 101))
+    a2, _ = synth.speak(_tile(neutral_cp, 101))
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_incremental_matches_block(neutral_cp):
+    cps = _tile(neutral_cp, 41)
+    cps[:, 19] = np.linspace(100, 150, 41)  # vary f0 over time
+    block, _ = synth.speak(cps)
+    incr, _, _tube = synth.speak_and_extract_tube_information(cps)
+    np.testing.assert_allclose(incr, block, atol=1e-12)
+
+
+def test_tube_info_contract(neutral_cp):
+    audio, sr, tube = synth.speak_and_extract_tube_information(
+        _tile(neutral_cp, 21))
+    assert audio.shape == (20 * 110,)
+    assert tube["tube_length_cm"].shape == (21, 40)
+    assert tube["tube_area_cm2"].shape == (21, 40)
+    assert tube["tube_articulator"].shape == (21, 40)
+    assert tube["incisor_pos_cm"].shape == (21,)
+    assert 14.0 <= tube["incisor_pos_cm"][0] <= 18.0
+    assert (tube["tube_area_cm2"] >= 0).all()
+    assert (tube["tube_area_cm2"] <= 15.0).all()
+    # per-section lengths within the normalization table's range
+    from paule_tpu.ops.normalize import MIN_LENGTH, MAX_LENGTH
+    assert (tube["tube_length_cm"] >= MIN_LENGTH - 1e-9).all()
+    assert (tube["tube_length_cm"] <= MAX_LENGTH + 1e-9).all()
+    labels = set(np.unique(tube["tube_articulator"]))
+    assert "tongue" in labels and "vocal folds" in labels
+
+
+def test_area_info_within_oral_cavity(neutral_cp):
+    _a, _sr, tube = synth.speak_and_extract_tube_information(
+        _tile(neutral_cp, 5))
+    feats = synth.get_area_info_within_oral_cavity(
+        tube["tube_length_cm"], tube["tube_area_cm2"])
+    assert feats.shape == (5, 7)
+    assert np.isfinite(feats).all()
+    means = synth.get_area_info_within_oral_cavity(
+        tube["tube_length_cm"], tube["tube_area_cm2"], calculate="mean")
+    assert (means >= feats - 1e-9).all()  # mean >= min on same sets
+
+
+def test_velum_opening_feature(neutral_cp):
+    tract = neutral_cp[:19].copy()
+    tract[7] = 0.7  # VO
+    *_rest, vel = synth.tract_to_tube(tract)
+    assert vel == pytest.approx(0.7)
+    tract[7] = -0.1
+    *_rest, vel = synth.tract_to_tube(tract)
+    assert vel == 0.0
+
+
+def test_normalized_cp_roundtrip_synthesis():
+    """planning-space check: a normalized neutral trajectory denormalizes and
+    synthesizes without error (the planning loop's host boundary)."""
+    norm_cp = np.zeros((21, 30))
+    audio, sr = synth.speak(inv_normalize_cp(norm_cp))
+    assert len(audio) == 20 * 110
+    assert np.isfinite(audio).all()
+
+
+def test_export_svgs(tmp_path, neutral_cp):
+    path = str(tmp_path / "svgs") + "/"
+    synth.export_svgs(_tile(neutral_cp, 10), path=path, hop_length=5)
+    files = sorted(os.listdir(path))
+    assert files == ["tract00000.svg", "tract00001.svg"]
+    content = open(os.path.join(path, files[0])).read()
+    assert content.startswith("<svg") and "polyline" in content
+
+
+def test_cps_to_ema(neutral_cp):
+    emas = synth.cps_to_ema(_tile(neutral_cp, 8))
+    assert len(emas) == 8
+    assert "time" in emas.columns
+    assert sum(c.endswith("_x") for c in emas.columns) == 3
+    assert np.isfinite(emas.values).all()
+
+
+def test_seg_to_cps_pipeline(tmp_path, neutral_cp):
+    seg = tmp_path / "word.seg"
+    seg.write_text(
+        "name = a; duration_s = 0.10;\n"
+        "name = t; duration_s = 0.05;\n"
+        "name = a; duration_s = 0.10;\n")
+    cps = synth.seg_to_cps(str(seg))
+    assert cps.shape[1] == 30
+    assert cps.shape[0] >= int(0.25 / (110 / 44100))
+    # trajectories stay within the speaker's parameter ranges
+    info_t = synth.get_param_info("tract")
+    assert (cps[:, :19] >= info_t["mins"] - 1e-6).all()
+    assert (cps[:, :19] <= info_t["maxs"] + 1e-6).all()
+    # and synthesize
+    audio, _ = synth.speak(cps)
+    assert np.isfinite(audio).all()
+
+
+def test_seg_simple_format(tmp_path):
+    seg = tmp_path / "word.seg"
+    seg.write_text("a 0.1\ni 0.1\n")
+    cps = synth.seg_to_cps(str(seg))
+    assert cps.shape[0] > 50
+
+
+def test_read_cp_rejects_wrong_glottis(tmp_path):
+    f = tmp_path / "bad.txt"
+    f.write_text("#\n#\n#\n#\n#\n#\nTriangular glottis\n1\n")
+    with pytest.raises(ValueError):
+        synth.read_cp(str(f))
+
+
+def test_synth_pool_matches_serial(neutral_cp):
+    import concurrent.futures as cf
+
+    pool = synth.SynthPool(size=2)
+    cps = [_tile(neutral_cp, 21 + 2 * i) for i in range(4)]
+    want = [synth.speak(c)[0] for c in cps]
+    with cf.ThreadPoolExecutor(4) as ex:
+        got = list(ex.map(lambda c: pool.speak(c)[0], cps))
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=1e-12)
+    pool.close()
