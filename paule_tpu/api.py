@@ -1,0 +1,966 @@
+"""The :class:`Paule` facade — keyword-compatible with the reference's
+``paule.Paule`` / ``Paule.plan_resynth`` surface
+(/root/reference/paule/paule.py:92-1550), built on the TPU-native stack:
+
+* the planning inner loop compiles to one jitted ``lax.scan`` segment per
+  ``log_ii`` steps (:mod:`paule_tpu.planning.engine`);
+* synthesis + produced-audio metrics run on the host against the C++
+  synthesizer at the logging cadence, optionally *asynchronously* on a
+  thread pool so the device keeps planning while the host synthesizes
+  (``synthesis_async=True``; results are drained at outer-loop boundaries,
+  which is also where continue-learning needs them);
+* continue-learning updates the proxy models with jitted optax steps
+  (:mod:`paule_tpu.planning.trainer`).
+"""
+
+import concurrent.futures
+import os
+import random
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import DTYPE
+from . import synth
+from .dsp.audio import read as audio_read, stereo_to_mono
+from .dsp.mel import librosa_melspec, melspec_44100, SR as MEL_SR
+from .dsp.griffinlim import mel_to_sig
+from .ops.normalize import (
+    inv_normalize_cp, normalize_mel, normalize_tube)
+from .ops import losses as L
+from .models import (
+    ForwardModel, InverseModelMelTimeSmoothResidual, EmbeddingModel,
+    Generator, LinearClassifier)
+from .planning import engine
+from .planning.engine import (
+    Constraints, ModelBundle, MEL_WEIGHT, SEMANTIC_WEIGHT,
+    SPEECH_CLASSIFIER_WEIGHT, TUBE_MEL_WEIGHT, TUBE_SEMANTIC_WEIGHT)
+from .planning import trainer as trainer_mod
+from .planning.results import (
+    BestSynthesisAcoustic, BestSynthesisSemantic, BestSynthesisSomatosensory,
+    PlanningResults, PlanningResultsWithSomatosensory,
+    PlanningResultsWithSpeechClassifier)
+
+DIR = os.path.dirname(__file__)
+
+
+def _to_np(x):
+    return np.asarray(x, dtype=np.float64)
+
+
+class Paule:
+    """Keeps the state of the predictive/inverse/embedder models (and the
+    optional speech-classifier or somatosensory models), the continue-
+    learning replay data, and the best-synthesis trackers."""
+
+    def __init__(self, *, pred_model=None, pred_optimizer=None,
+                 inv_model=None, inv_optimizer=None, embedder=None,
+                 cp_gen_model=None, mel_gen_model=None,
+                 use_somatosensory_feedback=False, cp_tube_model=None,
+                 tube_optimizer=None, tube_mel_model=None,
+                 tube_mel_optimizer=None, tube_embedder=None,
+                 continue_data=None, device=None, smiling=False,
+                 use_speech_classifier=False, speech_classifier=None,
+                 speech_classifier_optimizer=None,
+                 pretrained_dir=None, seed=20200905, dtype=None,
+                 synthesis_async=True, speaker="default"):
+        del device  # JAX manages device placement; kept for API parity
+        del pred_optimizer, inv_optimizer, tube_optimizer  # created below
+        del tube_mel_optimizer, speech_classifier_optimizer
+
+        if use_somatosensory_feedback and use_speech_classifier:
+            raise NotImplementedError(
+                "at the moment you have to choose either to use "
+                "`use_somatosenrosry_feedback=True` OR to use "
+                "`use_speech_classifier=True` or none")
+
+        self.dtype = dtype or DTYPE
+        self.smiling = smiling
+        self.use_speech_classifier = use_speech_classifier
+        self.use_somatosensory_feedback = use_somatosensory_feedback
+        self.synthesis_async = synthesis_async
+        self._py_rng = random.Random(seed)
+        self._jax_rng = jax.random.PRNGKey(seed)
+
+        synth.initialize(speaker)
+
+        def init_rng():
+            self._jax_rng, sub = jax.random.split(self._jax_rng)
+            return sub
+
+        sd = self._load_pretrained(pretrained_dir)
+
+        # PREDictive MODEL (cp -> mel)
+        self.pred_model = ForwardModel(num_lstm_layers=1, hidden_size=720)
+        self.pred_params = (pred_model if pred_model is not None else
+                            sd.get("predictive") or
+                            self.pred_model.init(init_rng(), self.dtype))
+
+        # INVerse MODEL (mel -> cp)
+        self.inv_model = InverseModelMelTimeSmoothResidual(
+            num_lstm_layers=1, hidden_size=720)
+        self.inv_params = (inv_model if inv_model is not None else
+                           sd.get("inverse") or
+                           self.inv_model.init(init_rng(), self.dtype))
+
+        # EMBEDDER (mel -> semvec)
+        self.embedder = EmbeddingModel(num_lstm_layers=2, hidden_size=720)
+        self.embedder_params = (embedder if embedder is not None else
+                                sd.get("embedder") or
+                                self.embedder.init(init_rng(), self.dtype))
+
+        # conditional GAN generators (semvec -> cp / mel)
+        self.cp_gen_model = Generator()
+        self.cp_gen_params = (cp_gen_model if cp_gen_model is not None else
+                              sd.get("cp_gan") or
+                              self.cp_gen_model.init(init_rng(), self.dtype))
+        self.mel_gen_model = Generator(output_size=60)
+        self.mel_gen_params = (mel_gen_model if mel_gen_model is not None else
+                               sd.get("mel_gan") or
+                               self.mel_gen_model.init(init_rng(), self.dtype))
+
+        if self.use_speech_classifier:
+            self.speech_classifier = LinearClassifier(input_dim=60, output_dim=1)
+            self.speech_classifier_params = (
+                speech_classifier if speech_classifier is not None else
+                sd.get("speech_classifier") or
+                self.speech_classifier.init(init_rng(), self.dtype))
+        else:
+            self.speech_classifier = None
+            self.speech_classifier_params = None
+
+        if self.use_somatosensory_feedback:
+            self.cp_tube_model = ForwardModel(
+                num_lstm_layers=1, hidden_size=360, output_size=10,
+                input_size=30, apply_half_sequence=False)
+            self.cp_tube_params = (
+                cp_tube_model if cp_tube_model is not None else
+                sd.get("cp_tube") or
+                self.cp_tube_model.init(init_rng(), self.dtype))
+            self.tube_mel_model = ForwardModel(
+                num_lstm_layers=1, hidden_size=360, output_size=60,
+                input_size=10, apply_half_sequence=True)
+            self.tube_mel_params = (
+                tube_mel_model if tube_mel_model is not None else
+                sd.get("tube_mel") or
+                self.tube_mel_model.init(init_rng(), self.dtype))
+            self.tube_embedder = EmbeddingModel(
+                input_size=10, num_lstm_layers=2, hidden_size=720,
+                dropout=0.7, post_upsampling_size=0)
+            self.tube_embedder_params = (
+                tube_embedder if tube_embedder is not None else
+                sd.get("tube_embedder") or
+                self.tube_embedder.init(init_rng(), self.dtype))
+        else:
+            self.cp_tube_model = self.tube_mel_model = self.tube_embedder = None
+            self.cp_tube_params = self.tube_mel_params = None
+            self.tube_embedder_params = None
+
+        # trainers (keep optimizer state across plan_resynth calls, like the
+        # reference's persistent torch optimizers)
+        self.pred_trainer = trainer_mod.ModelTrainer(
+            self.pred_model, self.pred_params, loss="rmse")
+        self.inv_trainer = trainer_mod.ModelTrainer(
+            self.inv_model, self.inv_params, loss="cp_trajectory")
+        if self.use_somatosensory_feedback:
+            self.tube_trainer = trainer_mod.ModelTrainer(
+                self.cp_tube_model, self.cp_tube_params, loss="rmse")
+            self.tube_mel_trainer = trainer_mod.ModelTrainer(
+                self.tube_mel_model, self.tube_mel_params, loss="rmse")
+
+        self.continue_data = trainer_mod.ReplayBuffer(
+            continue_data, rng=self._py_rng)
+
+        self.best_synthesis_acoustic = None
+        self.best_synthesis_semantic = None
+        if self.use_somatosensory_feedback:
+            self.best_synthesis_somatosensory = None
+
+        self._synth_pool = synth.SynthPool(size=2, speaker_path=speaker)
+        self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _load_pretrained(self, pretrained_dir):
+        """Convert reference torch checkpoints if a pretrained dir is given.
+
+        Expected layout mirrors the reference's ``pretrained_models/``
+        (/root/reference/paule/paule.py:124-273); any missing file falls
+        back to random initialization."""
+        if not pretrained_dir:
+            return {}
+        from .models import torch_convert as TC
+
+        found = {}
+        kinds = {
+            "predictive": ("forward", "predictive"),
+            "inverse": ("inverse", "inverse"),
+            "embedder": ("embedder", "embedder"),
+            "cp_gan": ("generator", "cp_gan"),
+            "mel_gan": ("generator", "mel_gan"),
+            "speech_classifier": ("linear_classifier", "speech_classifier"),
+            "cp_tube": ("forward", "somatosensory"),
+            "tube_mel": ("forward", "somatosensory"),
+            "tube_embedder": ("embedder", "somatosensory"),
+        }
+        for key, (kind, subdir) in kinds.items():
+            d = os.path.join(pretrained_dir, subdir)
+            if not os.path.isdir(d):
+                continue
+            pts = sorted(f for f in os.listdir(d) if f.endswith(".pt"))
+            match = None
+            for f in pts:
+                if key in ("cp_tube",) and "cp_to_tube" not in f:
+                    continue
+                if key in ("tube_mel",) and "tube_to_mel" not in f:
+                    continue
+                if key in ("tube_embedder",) and "tube_to_vector" not in f:
+                    continue
+                match = os.path.join(d, f)
+                break
+            if match:
+                try:
+                    params = TC.convert(kind, match)
+                    found[key] = jax.tree.map(
+                        lambda a: jnp.asarray(a, dtype=self.dtype), params)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"could not convert {match}: {exc}")
+        return found
+
+    def _bundle(self):
+        return ModelBundle(
+            pred_model=self.pred_model, pred_params=self.pred_trainer.params,
+            embedder=self.embedder, embedder_params=self.embedder_params,
+            speech_classifier=self.speech_classifier,
+            speech_classifier_params=self.speech_classifier_params,
+            cp_tube_model=self.cp_tube_model,
+            cp_tube_params=(self.tube_trainer.params
+                            if self.use_somatosensory_feedback else None),
+            tube_mel_model=self.tube_mel_model,
+            tube_mel_params=(self.tube_mel_trainer.params
+                             if self.use_somatosensory_feedback else None),
+            tube_embedder=self.tube_embedder,
+            tube_embedder_params=self.tube_embedder_params,
+        )
+
+    def _embed(self, mel, deterministic=True, rng=None):
+        """mel (1, T, 60) -> semvec (1, 300)."""
+        mel = jnp.asarray(mel, dtype=self.dtype)
+        lens = jnp.full((mel.shape[0],), mel.shape[1])
+        return self.embedder.apply(self.embedder_params, mel, lens,
+                                   deterministic=deterministic, rng=rng)
+
+    def _tube_embed(self, tube, deterministic=True, rng=None):
+        tube = jnp.asarray(tube, dtype=self.dtype)
+        lens = jnp.full((tube.shape[0],), tube.shape[1])
+        return self.tube_embedder.apply(
+            self.tube_embedder_params, tube, lens,
+            deterministic=deterministic, rng=rng)
+
+    def _next_rng(self):
+        self._jax_rng, sub = jax.random.split(self._jax_rng)
+        return sub
+
+    def _synthesize(self, cps_norm):
+        """Denormalize + synthesize on the host; returns (sig, sr[, tube])."""
+        cps = inv_normalize_cp(_to_np(cps_norm))
+        if self.use_somatosensory_feedback:
+            sig, sr, tube_info = synth.speak_and_extract_tube_information(cps)
+            area = synth.get_area_info_within_oral_cavity(
+                tube_info["tube_length_cm"], tube_info["tube_area_cm2"])
+            prod_tube = np.concatenate(
+                [area,
+                 tube_info["incisor_pos_cm"][:, None],
+                 tube_info["tongue_tip_side_elevation"][:, None],
+                 tube_info["velum_opening_cm2"][:, None]], axis=1)
+            prod_tube = normalize_tube(prod_tube)
+            return sig, sr, prod_tube
+        sig, sr = self._synth_pool.speak(cps)
+        return sig, sr, None
+
+    def _prod_mel_of(self, sig, sr):
+        mel = librosa_melspec(sig, sr)
+        return normalize_mel(mel)
+
+    # ------------------------------------------------------------------
+    # the planning API
+    # ------------------------------------------------------------------
+
+    def create_epoch_batches(self, df_length, batch_size, shuffle=True,
+                             same_size_batching=False,
+                             sorted_training_length_keys=None,
+                             training_length_dict=None):
+        del sorted_training_length_keys
+        return trainer_mod.create_epoch_batches(
+            df_length, batch_size, shuffle=shuffle,
+            same_size_batching=same_size_batching,
+            training_length_dict=training_length_dict, rng=self._py_rng)
+
+    def plan_resynth(self, *, learning_rate_planning=0.01,
+                     learning_rate_learning=0.001,
+                     learning_rate_learning_inv=None,
+                     target_acoustic=None,
+                     target_semvec=None,
+                     target_seq_length=None,
+                     initial_cp=None,
+                     past_cp=None,
+                     initialize_from="acoustic",
+                     objective="acoustic",
+                     n_outer=5, n_inner=24,
+                     continue_learning=True,
+                     continue_learning_inv=False,
+                     continue_learning_tube=False,
+                     add_training_data_pred=False,
+                     add_training_data_inv=False,
+                     n_batches=3, batch_size=8, n_epochs=10,
+                     log_ii=1,
+                     log_semantics=True,
+                     log_gradients=False,
+                     log_signals=False,
+                     log_cps=False,
+                     plot=False,
+                     seed=None,
+                     verbose=True):
+        """Plan resynthesis cp trajectories (argument surface and semantics
+        of /root/reference/paule/paule.py:391-463)."""
+        if seed:
+            self._py_rng.seed(seed)
+            self._jax_rng = jax.random.PRNGKey(seed)
+
+        if target_acoustic is None and target_semvec is None:
+            raise ValueError(
+                "Either target_acoustic or target_semvec has to be not None.")
+
+        if objective not in engine.OBJECTIVES:
+            raise ValueError(
+                "objective has to be one of 'acoustic_semvec', 'acoustic' "
+                "or 'semvec'")
+
+        if learning_rate_learning:
+            self.pred_trainer.set_learning_rate(learning_rate_learning)
+        if learning_rate_learning_inv:
+            self.inv_trainer.set_learning_rate(learning_rate_learning_inv)
+
+        if log_ii is None:
+            log_ii = n_inner
+        if log_ii > n_inner:
+            raise ValueError(
+                "results can only be logged between first and last planning "
+                "step")
+
+        # ---------------- Phase A: target preparation ----------------
+        target_sig = target_sr = None
+        target_mel = None
+        if isinstance(target_acoustic, str):
+            target_sig, target_sr = audio_read(target_acoustic)
+            if target_sig.ndim == 2:
+                target_sig = stereo_to_mono(target_sig)
+        elif target_acoustic is None:
+            pass
+        elif len(target_acoustic) == 2:
+            target_sig, target_sr = target_acoustic
+        else:
+            target_mel = _to_np(target_acoustic)
+            if target_mel.ndim == 2:
+                target_mel = target_mel[None]
+            target_seq_length = target_mel.shape[1]
+            target_sig = None
+            target_sr = None
+
+        if target_acoustic is None and (target_seq_length is None
+                                        or target_semvec is None):
+            raise ValueError(
+                "if target_acoustic is None you need to give a "
+                "target_seq_length and a target_semvec")
+        elif target_acoustic is None:
+            noise = jax.random.normal(self._next_rng(), (1, 1, 100),
+                                      dtype=self.dtype)
+            semvec = jnp.asarray(_to_np(target_semvec).reshape(1, 300),
+                                 dtype=self.dtype)
+            target_mel = self.mel_gen_model.apply(
+                self.mel_gen_params, noise, int(target_seq_length), semvec)
+            target_mel = _to_np(target_mel)
+            target_sig, target_sr = mel_to_sig(target_mel[0])
+        elif target_mel is None:
+            mel = librosa_melspec(target_sig, target_sr)
+            mel = normalize_mel(mel)
+            mel -= mel.min()
+            target_mel = mel[None]
+            target_seq_length = target_mel.shape[1]
+
+        target_mel_dev = jnp.asarray(target_mel, dtype=self.dtype)
+
+        if target_semvec is None:
+            target_semvec_dev = self._embed(target_mel_dev)
+        else:
+            target_semvec_dev = jnp.asarray(
+                _to_np(target_semvec).reshape(1, 300), dtype=self.dtype)
+
+        # ---------------- Phase B: cp initialization ----------------
+        if initial_cp is None:
+            if initialize_from == "acoustic":
+                cp = self.inv_model.apply(self.inv_trainer.params,
+                                          target_mel_dev)
+                initial_cp = np.clip(_to_np(cp)[0], -1.0, 1.0)
+            elif initialize_from == "semvec":
+                noise = jax.random.normal(self._next_rng(), (1, 1, 100),
+                                          dtype=self.dtype)
+                cp = self.cp_gen_model.apply(
+                    self.cp_gen_params, noise, 2 * int(target_seq_length),
+                    jnp.asarray(_to_np(target_semvec_dev).reshape(1, 300),
+                                dtype=self.dtype))
+                initial_cp = _to_np(cp)[0]
+            else:
+                raise ValueError(
+                    "initialize_from has to be either 'acoustic' or 'semvec'")
+        else:
+            if initialize_from is not None:
+                raise ValueError(
+                    "one of initial_cp and initialize_from has to be None")
+            initial_cp = _to_np(initial_cp)
+            if initial_cp.shape[0] != target_mel.shape[1] * 2:
+                raise ValueError(
+                    f"initial_cp {initial_cp.shape[0]}, "
+                    f"target_mel {target_mel.shape[1] * 2}")
+
+        if past_cp is not None and past_cp.shape[0] % 2 != 0:
+            raise ValueError(
+                "past_cp have to be None or the sequence length has to be an "
+                "even number")
+        past_len = 0
+        if past_cp is not None:
+            past_cp = _to_np(past_cp)
+            initial_cp = np.concatenate((past_cp, initial_cp), axis=0)
+            past_len = past_cp.shape[0]
+
+        xx = jnp.asarray(initial_cp[None], dtype=self.dtype)
+
+        constraints = Constraints(clamp=1.05, smiling=self.smiling,
+                                  past_len=past_len)
+
+        # ---------------- logging containers ----------------
+        logs = {k: [] for k in (
+            "prod_loss_steps", "planned_loss_steps", "planned_mel_loss_steps",
+            "vel_loss_steps", "jerk_loss_steps", "pred_semvec_loss_steps",
+            "prod_semvec_loss_steps", "cp_steps", "pred_semvec_steps",
+            "prod_semvec_steps", "grad_steps", "sig_steps", "prod_mel_steps",
+            "pred_mel_steps", "pred_model_loss", "inv_model_loss")}
+        if self.use_speech_classifier:
+            logs["pred_speech_classifier_loss_steps"] = []
+            logs["prod_speech_classifier_loss_steps"] = []
+        if self.use_somatosensory_feedback:
+            for k in ("prod_tube_loss_steps", "pred_tube_mel_loss_steps",
+                      "prod_tube_mel_loss_steps", "pred_tube_semvec_loss_steps",
+                      "prod_tube_semvec_loss_steps", "pred_tube_steps",
+                      "prod_tube_steps", "prod_tube_mel_steps",
+                      "pred_tube_mel_steps", "pred_tube_semvec_steps",
+                      "prod_tube_semvec_steps", "tube_model_loss",
+                      "tube_mel_model_loss"):
+                logs[k] = []
+
+        # ---------------- Phase C: initial baseline ----------------
+        bundle = self._bundle()
+        initial_pred_mel_dev = self.pred_model.apply(bundle.pred_params, xx)
+        initial_pred_semvec_dev = self._embed(initial_pred_mel_dev)
+
+        xx_new_numpy = _to_np(xx[0])
+        init_syn = self._synthesize(xx_new_numpy)
+        initial_sig, initial_sr, initial_prod_tube = init_syn
+
+        somato_init = {}
+        if self.use_somatosensory_feedback:
+            initial_pred_tube = self.cp_tube_model.apply(
+                self.tube_trainer.params, xx)
+            initial_pred_tube_mel = self.tube_mel_model.apply(
+                self.tube_mel_trainer.params, initial_pred_tube)
+            initial_pred_tube_semvec = self._tube_embed(initial_pred_tube)
+            prod_tube_dev = jnp.asarray(initial_prod_tube[None],
+                                        dtype=self.dtype)
+            initial_prod_tube_mel = self.tube_mel_model.apply(
+                self.tube_mel_trainer.params, prod_tube_dev)
+            initial_prod_tube_semvec = self._tube_embed(prod_tube_dev)
+            somato_init = {
+                "initial_prod_tube": initial_prod_tube,
+                "initial_pred_tube": _to_np(initial_pred_tube[0]),
+                "initial_prod_tube_mel": _to_np(initial_prod_tube_mel[0]),
+                "initial_pred_tube_mel": _to_np(initial_pred_tube_mel[0]),
+                "initial_prod_tube_semvec": _to_np(initial_prod_tube_semvec[0]),
+                "initial_pred_tube_semvec": _to_np(initial_pred_tube_semvec[0]),
+            }
+
+        initial_prod_mel = self._prod_mel_of(initial_sig, initial_sr)
+
+        # past_cp: prepend the produced prefix to the target mel
+        if past_cp is not None:
+            target_mel = np.concatenate(
+                (initial_prod_mel[None, : past_len // 2, :], target_mel),
+                axis=1)
+            target_mel_dev = jnp.asarray(target_mel, dtype=self.dtype)
+
+        initial_prod_semvec = _to_np(
+            self._embed(jnp.asarray(initial_prod_mel[None],
+                                    dtype=self.dtype))[0])
+        initial_pred_mel = _to_np(initial_pred_mel_dev[0])
+        initial_pred_semvec = _to_np(initial_pred_semvec_dev[0])
+
+        self.best_synthesis_acoustic = BestSynthesisAcoustic(
+            np.inf, initial_cp, initial_sig, initial_prod_mel,
+            initial_pred_mel)
+        self.best_synthesis_semantic = BestSynthesisSemantic(
+            np.inf, initial_cp, initial_sig, initial_prod_semvec,
+            initial_pred_semvec)
+        if self.use_somatosensory_feedback:
+            self.best_synthesis_somatosensory = BestSynthesisSomatosensory(
+                np.inf, np.inf, np.inf, initial_cp, initial_sig,
+                somato_init["initial_prod_tube"],
+                somato_init["initial_pred_tube"],
+                somato_init["initial_prod_tube_mel"],
+                somato_init["initial_pred_tube_mel"],
+                somato_init["initial_prod_tube_semvec"],
+                somato_init["initial_pred_tube_semvec"])
+
+        # planning state
+        params_dynamic, models_static = engine.split_bundle(bundle)
+        opt_state = engine.init_opt_state(xx, learning_rate_planning)
+        n_segments = n_inner // log_ii
+        remainder = n_inner % log_ii
+
+        sig = initial_sig
+        sr = initial_sr
+        prod_mel = initial_prod_mel
+        pred_mel_last = initial_pred_mel
+
+        start_time = time.time()
+        for ii_outer in range(n_outer):
+            seg_logs_ii = {
+                "cp": [], "prod_mel": [], "pred_mel": [], "pred_semvec": [],
+                "prod_semvec": [], "prod_tube": [], "pred_tube": [],
+                "prod_tube_mel": [], "pred_tube_mel": [],
+                "pred_tube_semvec": [], "prod_tube_semvec": [],
+            }
+            pending = []
+
+            # refresh dynamic params (may have been trained last outer iter)
+            bundle = self._bundle()
+            params_dynamic, models_static = engine.split_bundle(bundle)
+
+            for seg in range(n_segments + (1 if remainder else 0)):
+                k = log_ii if seg < n_segments else remainder
+                if k == 0:
+                    continue
+                xx, opt_state, seg_out = engine.plan_segment(
+                    params_dynamic, models_static, xx, opt_state,
+                    target_mel_dev, target_semvec_dev, self._next_rng(),
+                    n_steps=k, objective=objective,
+                    use_speech_classifier=self.use_speech_classifier,
+                    use_somatosensory=self.use_somatosensory_feedback,
+                    log_semantics=log_semantics, constraints=constraints,
+                    lr=learning_rate_planning)
+                if seg >= n_segments:
+                    break  # remainder steps are never logged
+
+                subs = seg_out["sub_losses"]
+                last = -1
+                logs["planned_loss_steps"].append(float(subs.total[last]))
+                logs["planned_mel_loss_steps"].append(float(subs.mel_loss[last]))
+                logs["vel_loss_steps"].append(float(subs.velocity_loss[last]))
+                logs["jerk_loss_steps"].append(float(subs.jerk_loss[last]))
+                if objective in ("semvec", "acoustic_semvec") or log_semantics:
+                    logs["pred_semvec_loss_steps"].append(
+                        float(subs.semvec_loss[last]))
+                    seg_logs_ii["pred_semvec"].append(
+                        _to_np(seg_out["pred_semvec"][last][0]))
+                if self.use_speech_classifier:
+                    logs["pred_speech_classifier_loss_steps"].append(
+                        float(subs.speech_classifier_loss[last]))
+                if self.use_somatosensory_feedback:
+                    logs["pred_tube_mel_loss_steps"].append(
+                        float(subs.tube_mel_loss[last]))
+                    logs["pred_tube_semvec_loss_steps"].append(
+                        float(subs.tube_semvec_loss[last]))
+                if log_gradients:
+                    logs["grad_steps"].append(
+                        _to_np(seg_out["grads"][last]))
+                if verbose:
+                    ii = ii_outer * n_inner + seg * log_ii + k - 1
+                    print(f"Iteration {ii % n_inner}")
+                    print("Planned Loss: ", float(subs.total[last]))
+                    print("Mel Loss: ", float(subs.mel_loss[last]))
+                    print("Vel Loss: ", float(subs.velocity_loss[last]))
+                    print("Jerk Loss: ", float(subs.jerk_loss[last]))
+                    print("Local Linear Loss: ",
+                          float(subs.local_linear_loss[last]))
+
+                # snapshot = trajectory before the last update of the segment
+                snapshot = _to_np(seg_out["xx_pre"][last][0])
+                seg_logs_ii["cp"].append(snapshot)
+
+                if self.synthesis_async:
+                    pending.append(self._executor.submit(
+                        self._synthesize, snapshot))
+                else:
+                    pending.append(snapshot)
+
+            # drain synthesis jobs for this outer iteration
+            for job in pending:
+                if self.synthesis_async:
+                    sig, sr, prod_tube = job.result()
+                else:
+                    sig, sr, prod_tube = self._synthesize(job)
+                snapshot = seg_logs_ii["cp"][len(seg_logs_ii["prod_mel"])]
+                if log_signals:
+                    logs["sig_steps"].append(sig)
+                prod_mel = self._prod_mel_of(sig, sr)
+                seg_logs_ii["prod_mel"].append(prod_mel.copy())
+
+                prod_mel_dev = jnp.asarray(prod_mel[None], dtype=self.dtype)
+                prod_loss = MEL_WEIGHT * float(
+                    L.rmse(prod_mel_dev, target_mel_dev))
+                logs["prod_loss_steps"].append(prod_loss)
+
+                pred_mel_dev = self.pred_model.apply(
+                    self.pred_trainer.params,
+                    jnp.asarray(snapshot[None], dtype=self.dtype))
+                pred_mel_last = _to_np(pred_mel_dev[0])
+                seg_logs_ii["pred_mel"].append(pred_mel_last)
+
+                if self.use_speech_classifier:
+                    logits = self.speech_classifier.apply(
+                        self.speech_classifier_params, prod_mel_dev)
+                    sc_loss = SPEECH_CLASSIFIER_WEIGHT * float(
+                        L.bce_with_logits(logits, jnp.zeros_like(logits)))
+                    logs["prod_speech_classifier_loss_steps"].append(sc_loss)
+                    if verbose:
+                        print("Produced Speech Classifier Loss: ", sc_loss)
+
+                tube_metrics = {}
+                if self.use_somatosensory_feedback:
+                    prod_tube_dev = jnp.asarray(prod_tube[None],
+                                                dtype=self.dtype)
+                    pred_tube_dev = self.cp_tube_model.apply(
+                        self.tube_trainer.params,
+                        jnp.asarray(snapshot[None], dtype=self.dtype))
+                    prod_tube_mel_dev = self.tube_mel_model.apply(
+                        self.tube_mel_trainer.params, prod_tube_dev)
+                    pred_tube_mel_dev = self.tube_mel_model.apply(
+                        self.tube_mel_trainer.params, pred_tube_dev)
+                    prod_tube_loss = float(L.rmse(pred_tube_dev, prod_tube_dev))
+                    prod_tube_mel_loss = TUBE_MEL_WEIGHT * float(
+                        L.rmse(prod_tube_mel_dev, target_mel_dev))
+                    logs["prod_tube_loss_steps"].append(prod_tube_loss)
+                    logs["prod_tube_mel_loss_steps"].append(prod_tube_mel_loss)
+                    seg_logs_ii["prod_tube"].append(prod_tube.copy())
+                    seg_logs_ii["pred_tube"].append(_to_np(pred_tube_dev[0]))
+                    seg_logs_ii["prod_tube_mel"].append(
+                        _to_np(prod_tube_mel_dev[0]))
+                    seg_logs_ii["pred_tube_mel"].append(
+                        _to_np(pred_tube_mel_dev[0]))
+                    tube_metrics = {
+                        "prod_tube": prod_tube,
+                        "pred_tube": _to_np(pred_tube_dev[0]),
+                        "prod_tube_mel": _to_np(prod_tube_mel_dev[0]),
+                        "pred_tube_mel": _to_np(pred_tube_mel_dev[0]),
+                        "prod_tube_loss": prod_tube_loss,
+                        "prod_tube_mel_loss": prod_tube_mel_loss,
+                    }
+
+                if verbose:
+                    print("Produced Mel Loss: ", prod_loss)
+
+                if objective in ("semvec", "acoustic_semvec") or log_semantics:
+                    prod_semvec = _to_np(self._embed(prod_mel_dev)[0])
+                    seg_logs_ii["prod_semvec"].append(prod_semvec.copy())
+                    prod_semvec_loss = SEMANTIC_WEIGHT * float(L.rmse(
+                        jnp.asarray(prod_semvec.reshape(1, -1),
+                                    dtype=self.dtype), target_semvec_dev))
+                    logs["prod_semvec_loss_steps"].append(prod_semvec_loss)
+                    if verbose:
+                        print("Produced Semvec Loss: ", prod_semvec_loss)
+
+                    pred_semvec_np = (seg_logs_ii["pred_semvec"][-1]
+                                      if seg_logs_ii["pred_semvec"]
+                                      else initial_pred_semvec)
+                    new_ac = BestSynthesisAcoustic(
+                        prod_loss, snapshot, sig, prod_mel.copy(),
+                        pred_mel_last.copy())
+                    new_sem = BestSynthesisSemantic(
+                        prod_semvec_loss, snapshot, sig, prod_semvec,
+                        pred_semvec_np)
+                    if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
+                        self.best_synthesis_acoustic = new_ac
+                    if (self.best_synthesis_semantic.semvec_loss
+                            > new_sem.semvec_loss):
+                        self.best_synthesis_semantic = new_sem
+
+                    if self.use_somatosensory_feedback:
+                        prod_tube_semvec = _to_np(self._tube_embed(
+                            jnp.asarray(tube_metrics["prod_tube"][None],
+                                        dtype=self.dtype))[0])
+                        seg_logs_ii["prod_tube_semvec"].append(
+                            prod_tube_semvec.copy())
+                        prod_tube_semvec_loss = TUBE_SEMANTIC_WEIGHT * float(
+                            L.rmse(jnp.asarray(
+                                prod_tube_semvec.reshape(1, -1),
+                                dtype=self.dtype), target_semvec_dev))
+                        logs["prod_tube_semvec_loss_steps"].append(
+                            prod_tube_semvec_loss)
+                        new_som = BestSynthesisSomatosensory(
+                            tube_metrics["prod_tube_loss"],
+                            tube_metrics["prod_tube_mel_loss"],
+                            prod_tube_semvec_loss, snapshot, sig,
+                            tube_metrics["prod_tube"],
+                            tube_metrics["pred_tube"],
+                            tube_metrics["prod_tube_mel"],
+                            tube_metrics["pred_tube_mel"],
+                            prod_tube_semvec, None)
+                        if (self.best_synthesis_somatosensory.tube_loss
+                                > new_som.tube_loss):
+                            self.best_synthesis_somatosensory = new_som
+                else:
+                    new_ac = BestSynthesisAcoustic(
+                        prod_loss, snapshot, sig, prod_mel.copy(),
+                        pred_mel_last.copy())
+                    if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
+                        self.best_synthesis_acoustic = new_ac
+                    if self.use_somatosensory_feedback:
+                        new_som = BestSynthesisSomatosensory(
+                            tube_metrics["prod_tube_loss"],
+                            tube_metrics["prod_tube_mel_loss"], np.inf,
+                            snapshot, sig, tube_metrics["prod_tube"],
+                            tube_metrics["pred_tube"],
+                            tube_metrics["prod_tube_mel"],
+                            tube_metrics["pred_tube_mel"], None, None)
+                        if (self.best_synthesis_somatosensory.tube_loss
+                                > new_som.tube_loss):
+                            self.best_synthesis_somatosensory = new_som
+
+            if plot and seg_logs_ii["prod_mel"]:
+                from . import visualize
+                target_mel_ii = target_mel[0]
+                if plot is True:
+                    visualize.plot_mels(True, target_mel_ii, initial_pred_mel,
+                                        initial_prod_mel, pred_mel_last,
+                                        seg_logs_ii["prod_mel"][-1])
+                else:
+                    visualize.plot_mels(f"{plot}_{ii_outer:03d}.png",
+                                        target_mel_ii, initial_pred_mel,
+                                        initial_prod_mel, pred_mel_last,
+                                        seg_logs_ii["prod_mel"][-1])
+
+            logs["prod_mel_steps"].append(seg_logs_ii["prod_mel"])
+            if log_cps:
+                logs["cp_steps"].append(seg_logs_ii["cp"])
+            logs["pred_mel_steps"].append(seg_logs_ii["pred_mel"])
+            logs["pred_semvec_steps"].append(seg_logs_ii["pred_semvec"])
+            logs["prod_semvec_steps"].append(seg_logs_ii["prod_semvec"])
+            if self.use_somatosensory_feedback:
+                logs["prod_tube_steps"].append(seg_logs_ii["prod_tube"])
+                logs["pred_tube_steps"].append(seg_logs_ii["pred_tube"])
+                logs["prod_tube_mel_steps"].append(seg_logs_ii["prod_tube_mel"])
+                logs["pred_tube_mel_steps"].append(seg_logs_ii["pred_tube_mel"])
+                logs["pred_tube_semvec_steps"].append(
+                    seg_logs_ii["pred_tube_semvec"])
+                logs["prod_tube_semvec_steps"].append(
+                    seg_logs_ii["prod_tube_semvec"])
+
+            # ---------------- continue learning ----------------
+            if continue_learning and seg_logs_ii["cp"]:
+                self._continue_learning(
+                    seg_logs_ii, target_semvec_dev, logs,
+                    continue_learning_inv=continue_learning_inv,
+                    continue_learning_tube=continue_learning_tube,
+                    add_training_data_pred=add_training_data_pred,
+                    add_training_data_inv=add_training_data_inv,
+                    n_batches=n_batches, batch_size=batch_size,
+                    n_epochs=n_epochs)
+
+        # ---------------- Phase F: final results ----------------
+        planned_cp = _to_np(xx[0])
+        prod_sig = sig
+        prod_sr = sr
+
+        pred_mel_dev = self.pred_model.apply(self.pred_trainer.params, xx)
+        pred_semvec_dev = self._embed(pred_mel_dev)
+        prod_mel_dev = jnp.asarray(prod_mel[None], dtype=self.dtype)
+        prod_semvec_dev = self._embed(prod_mel_dev)
+
+        target_mel_out = target_mel[0]
+        prod_mel_out = _to_np(prod_mel)
+        pred_mel_out = _to_np(pred_mel_dev[0])
+        prod_semvec_out = _to_np(prod_semvec_dev[0])
+        pred_semvec_out = _to_np(pred_semvec_dev[0])
+
+        somato_final = {}
+        if self.use_somatosensory_feedback:
+            pred_tube_dev = self.cp_tube_model.apply(self.tube_trainer.params, xx)
+            prod_tube_last = (seg_logs_ii["prod_tube"][-1]
+                              if seg_logs_ii["prod_tube"]
+                              else somato_init["initial_prod_tube"])
+            prod_tube_dev = jnp.asarray(prod_tube_last[None], dtype=self.dtype)
+            prod_tube_mel_dev = self.tube_mel_model.apply(
+                self.tube_mel_trainer.params, prod_tube_dev)
+            pred_tube_mel_dev = self.tube_mel_model.apply(
+                self.tube_mel_trainer.params, pred_tube_dev)
+            prod_tube_semvec_dev = self._tube_embed(prod_tube_dev)
+            pred_tube_semvec_dev = self._tube_embed(pred_tube_dev)
+            somato_final = {
+                "prod_tube": prod_tube_last,
+                "pred_tube": _to_np(pred_tube_dev[0]),
+                "prod_tube_mel": _to_np(prod_tube_mel_dev[0]),
+                "pred_tube_mel": _to_np(pred_tube_mel_dev[0]),
+                "prod_tube_semvec": _to_np(prod_tube_semvec_dev[0]),
+                "pred_tube_semvec": _to_np(pred_tube_semvec_dev[0]),
+            }
+
+        print("--- %.2f min ---" % ((time.time() - start_time) / 60))
+
+        if self.use_speech_classifier:
+            return PlanningResultsWithSpeechClassifier(
+                planned_cp, initial_cp, initial_sig, initial_sr,
+                initial_prod_mel, initial_pred_mel, target_sig, target_sr,
+                target_mel_out, prod_sig, prod_sr, prod_mel_out, pred_mel_out,
+                initial_prod_semvec, initial_pred_semvec, prod_semvec_out,
+                pred_semvec_out, logs["prod_loss_steps"],
+                logs["planned_loss_steps"], logs["planned_mel_loss_steps"],
+                logs["vel_loss_steps"], logs["jerk_loss_steps"],
+                logs["pred_semvec_loss_steps"], logs["prod_semvec_loss_steps"],
+                logs["pred_speech_classifier_loss_steps"],
+                logs["prod_speech_classifier_loss_steps"], logs["cp_steps"],
+                logs["pred_semvec_steps"], logs["prod_semvec_steps"],
+                logs["grad_steps"], logs["sig_steps"], logs["prod_mel_steps"],
+                logs["pred_mel_steps"], logs["pred_model_loss"],
+                logs["inv_model_loss"])
+        elif self.use_somatosensory_feedback:
+            return PlanningResultsWithSomatosensory(
+                planned_cp, initial_cp, initial_sig, initial_sr,
+                initial_prod_mel, initial_pred_mel,
+                somato_init["initial_prod_tube"],
+                somato_init["initial_pred_tube"],
+                somato_init["initial_prod_tube_mel"],
+                somato_init["initial_pred_tube_mel"], target_sig, target_sr,
+                target_mel_out, prod_sig, prod_sr, prod_mel_out, pred_mel_out,
+                somato_final["prod_tube"], somato_final["pred_tube"],
+                somato_final["prod_tube_mel"], somato_final["pred_tube_mel"],
+                initial_prod_semvec, initial_pred_semvec,
+                somato_init["initial_prod_tube_semvec"],
+                somato_init["initial_pred_tube_semvec"], prod_semvec_out,
+                pred_semvec_out, somato_final["prod_tube_semvec"],
+                somato_final["pred_tube_semvec"], logs["prod_loss_steps"],
+                logs["planned_loss_steps"], logs["planned_mel_loss_steps"],
+                logs["vel_loss_steps"], logs["jerk_loss_steps"],
+                logs["pred_semvec_loss_steps"], logs["prod_semvec_loss_steps"],
+                logs["prod_tube_loss_steps"], logs["pred_tube_mel_loss_steps"],
+                logs["prod_tube_mel_loss_steps"],
+                logs["pred_tube_semvec_loss_steps"],
+                logs["prod_tube_semvec_loss_steps"], logs["cp_steps"],
+                logs["pred_semvec_steps"], logs["prod_semvec_steps"],
+                logs["grad_steps"], logs["sig_steps"], logs["prod_mel_steps"],
+                logs["pred_mel_steps"], logs["prod_tube_steps"],
+                logs["pred_tube_steps"], logs["prod_tube_mel_steps"],
+                logs["pred_tube_mel_steps"], logs["prod_tube_semvec_steps"],
+                logs["pred_tube_semvec_steps"], logs["pred_model_loss"],
+                logs["inv_model_loss"], logs["tube_model_loss"],
+                logs["tube_mel_model_loss"])
+        return PlanningResults(
+            planned_cp, initial_cp, initial_sig, initial_sr,
+            initial_prod_mel, initial_pred_mel, target_sig, target_sr,
+            target_mel_out, prod_sig, prod_sr, prod_mel_out, pred_mel_out,
+            initial_prod_semvec, initial_pred_semvec, prod_semvec_out,
+            pred_semvec_out, logs["prod_loss_steps"],
+            logs["planned_loss_steps"], logs["planned_mel_loss_steps"],
+            logs["vel_loss_steps"], logs["jerk_loss_steps"],
+            logs["pred_semvec_loss_steps"], logs["prod_semvec_loss_steps"],
+            logs["cp_steps"], logs["pred_semvec_steps"],
+            logs["prod_semvec_steps"], logs["grad_steps"], logs["sig_steps"],
+            logs["prod_mel_steps"], logs["pred_mel_steps"],
+            logs["pred_model_loss"], logs["inv_model_loss"])
+
+    # ------------------------------------------------------------------
+    # continue learning
+    # ------------------------------------------------------------------
+
+    def _continue_learning(self, seg_logs_ii, target_semvec_dev, logs, *,
+                           continue_learning_inv, continue_learning_tube,
+                           add_training_data_pred, add_training_data_inv,
+                           n_batches, batch_size, n_epochs):
+        import pandas as pd
+
+        produced = pd.DataFrame(
+            columns=["vector", "cp_norm", "melspec_norm_synthesized",
+                     "tube_norm", "segment_data"])
+        produced["cp_norm"] = seg_logs_ii["cp"]
+        produced["melspec_norm_synthesized"] = seg_logs_ii["prod_mel"]
+        produced["vector"] = [
+            _to_np(target_semvec_dev[0]) for _ in range(len(produced))]
+        produced["segment_data"] = False
+        if self.use_somatosensory_feedback:
+            produced["tube_norm"] = seg_logs_ii["prod_tube"]
+
+        def sample_training(add_training_data):
+            if add_training_data and len(self.continue_data) > 0:
+                want = int(0.5 * batch_size) * n_batches
+                k = min(want, len(produced), len(self.continue_data))
+                prod_idx = self._py_rng.sample(range(len(produced)), k)
+                old = self.continue_data.sample(k)
+                mixed = pd.concat(
+                    [old, produced.iloc[prod_idx].reset_index(drop=True)]
+                ).reset_index(drop=True)
+                return mixed
+            want = batch_size * n_batches
+            k = min(want, len(produced))
+            idx = self._py_rng.sample(range(len(produced)), k)
+            return produced.iloc[idx].reset_index(drop=True)
+
+        # predictive model
+        training = sample_training(add_training_data_pred)
+        lens_in = np.array([len(c) for c in training["cp_norm"]])
+        losses = trainer_mod.train_epochs(
+            self.pred_trainer, list(training["cp_norm"]),
+            list(training["melspec_norm_synthesized"]), lens_in,
+            batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
+            dtype=self.dtype)
+        logs["pred_model_loss"].extend(losses)
+
+        if continue_learning_tube and self.use_somatosensory_feedback:
+            tube_losses = trainer_mod.train_epochs(
+                self.tube_trainer, list(training["cp_norm"]),
+                list(training["tube_norm"]), lens_in,
+                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
+                dtype=self.dtype)
+            logs["tube_model_loss"].extend(tube_losses)
+            tube_mel_losses = trainer_mod.train_epochs(
+                self.tube_mel_trainer, list(training["tube_norm"]),
+                list(training["melspec_norm_synthesized"]),
+                np.array([len(t) for t in training["tube_norm"]]),
+                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
+                dtype=self.dtype)
+            logs["tube_mel_model_loss"].extend(tube_mel_losses)
+
+        if continue_learning_inv:
+            training_inv = sample_training(add_training_data_inv)
+            lens_mel = np.array(
+                [len(m) for m in training_inv["melspec_norm_synthesized"]])
+            inv_losses = trainer_mod.train_epochs(
+                self.inv_trainer, list(training_inv["melspec_norm_synthesized"]),
+                list(training_inv["cp_norm"]), lens_mel,
+                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
+                dtype=self.dtype)
+            logs["inv_model_loss"].extend(inv_losses)
+
+        self.continue_data.append(produced)
+
+    def plan_iterative(self, *, target_acoustic=None, target_semvecs=None,
+                       target_seq_lengths=None, overlap=8, **kwargs):
+        """Chunked/overlapped planning of long utterances — implemented in
+        :mod:`paule_tpu.planning.iterative` (the reference declares this API
+        but leaves it a stub, /root/reference/paule/paule.py:383-388)."""
+        from .planning.iterative import plan_iterative as _impl
+
+        return _impl(self, target_acoustic=target_acoustic,
+                     target_semvecs=target_semvecs,
+                     target_seq_lengths=target_seq_lengths, overlap=overlap,
+                     **kwargs)

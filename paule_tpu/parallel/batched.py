@@ -1,0 +1,133 @@
+"""Batched multi-utterance planning and sharded continue-learning.
+
+The natural multi-chip extension of the workload (SURVEY.md §2): each chip
+plans a different utterance (dp), optionally with the proxy-model gate
+dimensions sharded over tp.  The planning scan vmaps the per-utterance
+update — each utterance keeps its own Adam state — and the batch axis is
+laid out over the mesh's dp axis so XLA keeps everything chip-local except
+the (optional) tp collectives.
+
+Host synthesis fans out over a :class:`paule_tpu.synth.SynthPool` — the C++
+synthesizer is handle-based precisely so this scales with host threads.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..planning import engine
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("models_static", "n_steps", "objective",
+                     "use_speech_classifier", "use_somatosensory",
+                     "log_semantics", "constraints", "lr"))
+def plan_segment_batched(params_dynamic, models_static, xx, opt_state,
+                         target_mels, target_semvecs, rng, *, n_steps,
+                         objective, use_speech_classifier, use_somatosensory,
+                         log_semantics, constraints, lr):
+    """Batched planning scan: ``xx (B, T, 30)``, ``target_mels (B, F, 60)``,
+    ``target_semvecs (B, 300)``; every utterance gets independent Adam
+    moments and an independent loss (vmapped criterion)."""
+    models = models_static._replace(**params_dynamic)
+    opt = optax.adam(lr)
+    xx_init = xx
+
+    def one_loss(x, tmel, tsem, step_rng):
+        total, (subs, _pm, _ps, _pt) = engine.criterion(
+            models, x[None], tmel[None], tsem[None], objective=objective,
+            use_speech_classifier=use_speech_classifier,
+            use_somatosensory=use_somatosensory,
+            log_semantics=log_semantics, rng=step_rng)
+        return total, subs
+
+    def one_update(x, state, x0, tmel, tsem, step_rng):
+        (_, subs), grads = jax.value_and_grad(one_loss, has_aux=True)(
+            x, tmel, tsem, step_rng)
+        updates, state = opt.update(grads, state)
+        x_new = engine.apply_constraints(
+            optax.apply_updates(x, updates)[None], x0[None], constraints)[0]
+        return x_new, state, subs, x
+
+    v_update = jax.vmap(one_update, in_axes=(0, 0, 0, 0, 0, 0))
+
+    def step(carry, step_rng):
+        x, state = carry
+        rngs = jax.random.split(step_rng, x.shape[0])
+        x_new, state, subs, x_pre = v_update(
+            x, state, xx_init, target_mels, target_semvecs, rngs)
+        return (x_new, state), (subs, x_pre)
+
+    rngs = jax.random.split(rng, n_steps)
+    (xx_out, opt_state), (subs, xx_pre) = jax.lax.scan(
+        step, (xx, opt_state), rngs)
+    return xx_out, opt_state, {"sub_losses": subs, "xx_pre": xx_pre}
+
+
+def init_batched_opt_state(xx, lr):
+    """Per-utterance Adam states (vmapped init)."""
+    return jax.vmap(optax.adam(lr).init)(xx)
+
+
+def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
+               n_steps=25, learning_rate_planning=0.01, objective="acoustic",
+               log_semantics=False, synthesize=True):
+    """Plan a batch of same-length utterances in parallel.
+
+    ``target_mels``: (B, F, 60) normalized log-mels.  Returns a dict with the
+    planned trajectories, per-step sub-losses, and (optionally) the
+    synthesized audio of the final trajectories (host fan-out).
+    """
+    dtype = paule_obj.dtype
+    target_mels = jnp.asarray(target_mels, dtype=dtype)
+    b, f, _ = target_mels.shape
+
+    if target_semvecs is None:
+        lens = jnp.full((b,), f)
+        target_semvecs = paule_obj.embedder.apply(
+            paule_obj.embedder_params, target_mels, lens)
+    target_semvecs = jnp.asarray(target_semvecs, dtype=dtype)
+
+    # initialize from the inverse model (batched)
+    xx = paule_obj.inv_model.apply(paule_obj.inv_trainer.params, target_mels)
+    xx = jnp.clip(xx, -1.0, 1.0)
+
+    if mesh is not None:
+        bspec = NamedSharding(mesh, P("dp", None, None))
+        xx = jax.device_put(xx, bspec)
+        target_mels = jax.device_put(target_mels, bspec)
+        target_semvecs = jax.device_put(
+            target_semvecs, NamedSharding(mesh, P("dp", None)))
+
+    opt_state = init_batched_opt_state(xx, learning_rate_planning)
+    bundle = paule_obj._bundle()
+    params_dynamic, models_static = engine.split_bundle(bundle)
+
+    xx, opt_state, logs = plan_segment_batched(
+        params_dynamic, models_static, xx, opt_state, target_mels,
+        target_semvecs, paule_obj._next_rng(), n_steps=n_steps,
+        objective=objective, use_speech_classifier=False,
+        use_somatosensory=False, log_semantics=log_semantics,
+        constraints=engine.Constraints(), lr=learning_rate_planning)
+
+    out = {
+        "planned_cp": np.asarray(xx, dtype=np.float64),
+        "sub_losses": jax.tree.map(np.asarray, logs["sub_losses"]),
+    }
+    if synthesize:
+        import concurrent.futures as cf
+
+        from ..ops.normalize import inv_normalize_cp
+
+        pool = paule_obj._synth_pool
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            sigs = list(ex.map(
+                lambda cp: pool.speak(inv_normalize_cp(cp))[0],
+                out["planned_cp"]))
+        out["prod_sigs"] = sigs
+    return out

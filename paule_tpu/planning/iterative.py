@@ -1,0 +1,83 @@
+"""Chunked / overlapped planning of long utterances.
+
+The reference declares ``plan_iterative(..., overlap=8)`` but leaves it an
+unimplemented stub (/root/reference/paule/paule.py:383-388).  This is the
+real implementation — our one deliberate capability extension, since the API
+already promises it (SURVEY.md §7 build order step 7):
+
+* the target is split into chunks of ``chunk_size`` mel frames;
+* each chunk is planned with ``plan_resynth``, conditioning on the last
+  ``overlap`` cp frames of the previously planned audio via ``past_cp`` (the
+  reference's own continuation mechanism, paule.py:575-583);
+* planned chunks are stitched (the conditioned prefix is dropped).
+
+Long sequences thus never enter a single compilation — each chunk compiles
+once and is reused for every same-length chunk.
+"""
+
+import numpy as np
+
+from ..dsp.audio import read as audio_read, stereo_to_mono
+from ..dsp.mel import librosa_melspec
+from ..ops.normalize import normalize_mel
+
+
+def plan_iterative(paule_obj, *, target_acoustic=None, target_semvecs=None,
+                   target_seq_lengths=None, overlap=8, chunk_size=64,
+                   **kwargs):
+    """Plan a long utterance in overlapping chunks.
+
+    Returns ``(planned_cp, results)`` where ``planned_cp`` is the stitched
+    (seq, 30) trajectory and ``results`` the per-chunk PlanningResults.
+    """
+    if overlap % 2 != 0:
+        raise ValueError("overlap must be an even number of cp frames")
+
+    if target_acoustic is None and target_semvecs is None:
+        raise ValueError(
+            "Either target_acoustic or target_semvecs has to be not None.")
+
+    # build the full normalized target mel
+    if target_acoustic is not None:
+        if isinstance(target_acoustic, str):
+            sig, sr = audio_read(target_acoustic)
+            if sig.ndim == 2:
+                sig = stereo_to_mono(sig)
+        else:
+            sig, sr = target_acoustic
+        mel = normalize_mel(librosa_melspec(sig, sr))
+        mel -= mel.min()
+    else:
+        raise NotImplementedError(
+            "iterative planning currently requires target acoustics; for "
+            "semvec-only targets call plan_resynth per word")
+
+    n_frames = mel.shape[0]
+    chunks = []
+    start = 0
+    while start < n_frames:
+        end = min(start + chunk_size, n_frames)
+        if n_frames - end < chunk_size // 4 and end < n_frames:
+            end = n_frames  # absorb a tiny tail into the last chunk
+        chunks.append((start, end))
+        start = end
+
+    results = []
+    planned_parts = []
+    past_cp = None
+    kwargs.setdefault("verbose", False)
+    kwargs.pop("initialize_from", None)
+    for (a, b) in chunks:
+        chunk_mel = mel[a:b]
+        res = paule_obj.plan_resynth(
+            target_acoustic=chunk_mel, past_cp=past_cp,
+            initialize_from="acoustic", **kwargs)
+        results.append(res)
+        planned = res.planned_cp
+        past_len = 0 if past_cp is None else past_cp.shape[0]
+        planned_new = planned[past_len:]
+        planned_parts.append(planned_new)
+        past_cp = planned[-overlap:] if overlap > 0 else None
+
+    planned_cp = np.concatenate(planned_parts, axis=0)
+    return planned_cp, results

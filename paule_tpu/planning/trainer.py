@@ -1,0 +1,183 @@
+"""Continue-learning: online training of the proxy models on the audio the
+synthesizer actually produced, plus the replay buffer and the same-size
+batching strategy.
+
+Mirrors the reference's training behavior
+(/root/reference/paule/paule.py:1244-1454) with jitted optax train steps:
+
+* predictive model: RMSE(pred_mel, produced_mel)
+* inverse model: cp_trajectory_loss (pos + vel + acc + jerk RMSE)
+* cp->tube and tube->mel models: RMSE
+* same-size batching buckets samples by exact sequence length so most
+  batches need no padding; leftovers are sorted and padded by repeating the
+  last frame (loss is computed over the padded tensor, like the reference)
+* the replay buffer caps at 1000 rows by random resampling
+"""
+
+import functools
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import losses as L
+from ..ops.padding import pad_batch
+
+
+def create_epoch_batches(df_length, batch_size, shuffle=True,
+                         same_size_batching=False, training_length_dict=None,
+                         rng=random):
+    """Batch indices for one epoch (reference paule.py:320-381)."""
+    if same_size_batching and training_length_dict is None:
+        raise ValueError(
+            "Dictionary containing indices of samples with corresponding "
+            "length needed for same_size_batching!")
+
+    if same_size_batching:
+        epoch = []
+        foundlings = []
+        for length in np.sort(list(training_length_dict.keys())):
+            length_idxs = list(training_length_dict[length])
+            rest = len(length_idxs) % batch_size
+            rng.shuffle(length_idxs)
+            epoch += [
+                length_idxs[i * batch_size : (i + 1) * batch_size]
+                for i in range(len(length_idxs) // batch_size)
+            ]
+            if rest > 0:
+                foundlings += list(length_idxs[-rest:])
+        foundlings = np.asarray(foundlings)
+        rest = len(foundlings) % batch_size
+        epoch += [
+            foundlings[i * batch_size : (i + 1) * batch_size]
+            for i in range(len(foundlings) // batch_size)
+        ]
+        if rest > 0:
+            epoch += [foundlings[-rest:]]
+        rng.shuffle(epoch)
+        return epoch
+
+    rest = df_length % batch_size
+    idxs = list(range(df_length))
+    if shuffle:
+        rng.shuffle(idxs)
+    if rest > 0:
+        idxs += idxs[: batch_size - rest]  # rolling batching
+    return [idxs[i * batch_size : (i + 1) * batch_size]
+            for i in range(len(idxs) // batch_size)]
+
+
+def build_length_dict(lens):
+    """length -> indices-with-that-length map for same-size batching."""
+    lens = np.asarray(lens)
+    return {int(l): np.where(lens == l)[0] for l in np.unique(lens)}
+
+
+class ModelTrainer:
+    """Owns the optax optimizer state for one trainable model and exposes a
+    jitted train step keyed by (model, loss kind)."""
+
+    def __init__(self, model, params, *, loss="rmse", learning_rate=0.001):
+        self.model = model
+        self.params = params
+        self.loss_kind = loss
+        self.optimizer = optax.adam(learning_rate)
+        self.opt_state = self.optimizer.init(params)
+        self._lr = learning_rate
+        self._step = self._make_step()
+
+    def set_learning_rate(self, lr):
+        if lr is not None and lr != self._lr:
+            self._lr = lr
+            self.optimizer = optax.adam(lr)
+            # keep first/second moments, reset only the schedule bookkeeping
+            self.opt_state = self.optimizer.init(self.params)
+            self._step = self._make_step()
+
+    def _make_step(self):
+        model = self.model
+        loss_kind = self.loss_kind
+        optimizer = self.optimizer
+
+        @jax.jit
+        def train_step(params, opt_state, batch_in, batch_out):
+            def loss_fn(p):
+                y_hat = model.apply(p, batch_in)
+                if loss_kind == "rmse":
+                    return L.rmse(y_hat, batch_out)
+                elif loss_kind == "cp_trajectory":
+                    return L.cp_trajectory_loss(y_hat, batch_out)[0]
+                raise ValueError(loss_kind)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    def train_batch(self, batch_in, batch_out):
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, jnp.asarray(batch_in),
+            jnp.asarray(batch_out))
+        return float(loss)
+
+
+def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
+                 rng=random, dtype=np.float32):
+    """Train for n_epochs with same-size batching; returns per-epoch mean
+    losses.  ``inps``/``tgts`` are sequences (lists / pandas Series) of
+    variable-length (T_i, C) arrays."""
+    inps = list(inps)
+    tgts = list(tgts)
+    lens_in = np.asarray(lens_in)
+    length_dict = build_length_dict(lens_in)
+    epoch_losses = []
+    for _ in range(n_epochs):
+        batches = create_epoch_batches(
+            len(inps), batch_size, shuffle=True, same_size_batching=True,
+            training_length_dict=length_dict, rng=rng)
+        losses = []
+        for idxs in batches:
+            b_in = pad_batch(lens_in[list(idxs)],
+                             [inps[i] for i in idxs], dtype=dtype)
+            b_out_seqs = [tgts[i] for i in idxs]
+            b_out = pad_batch([len(s) for s in b_out_seqs], b_out_seqs,
+                              dtype=dtype)
+            losses.append(trainer.train_batch(b_in, b_out))
+        epoch_losses.append(float(np.mean(losses)))
+    return epoch_losses
+
+
+class ReplayBuffer:
+    """Replay data for continue-learning, capped by random resampling
+    (reference paule.py:277-282, 1442-1446).  Stored as a pandas DataFrame
+    with the reference's column names."""
+
+    LIMIT = 1000
+
+    def __init__(self, data=None, rng=random):
+        self.rng = rng
+        self.data = data
+        if self.data is not None and len(self.data) > self.LIMIT:
+            sample = self.rng.sample(range(len(self.data)), self.LIMIT)
+            self.data = self.data.iloc[sample].reset_index(drop=True)
+
+    def __len__(self):
+        return 0 if self.data is None else len(self.data)
+
+    def append(self, produced_df):
+        import pandas as pd
+
+        if self.data is None:
+            return
+        self.data = pd.concat([self.data, produced_df]).reset_index(drop=True)
+        if len(self.data) > self.LIMIT:
+            sample = self.rng.sample(range(len(self.data)), self.LIMIT)
+            self.data = self.data.iloc[sample].reset_index(drop=True)
+
+    def sample(self, k):
+        idxs = self.rng.sample(range(len(self.data)), k)
+        return self.data.iloc[idxs].reset_index(drop=True)

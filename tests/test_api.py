@@ -1,0 +1,212 @@
+"""End-to-end tests of the Paule facade: argument validation (the reference's
+test surface, /root/reference/tests/test_paule.py:31-70) plus smoke planning
+runs for every objective and model variant — with tiny budgets, random
+weights and synthesizer-generated targets, so no pretrained download is
+needed."""
+
+import numpy as np
+import pytest
+
+from paule_tpu import synth
+from paule_tpu.api import Paule
+from paule_tpu.ops.normalize import inv_normalize_cp
+
+TARGET_SEMVEC = np.zeros((300,))
+
+
+@pytest.fixture(scope="module")
+def target():
+    synth.initialize()
+    rng = np.random.default_rng(0)
+    cp_true = np.clip(rng.normal(0, 0.1, (40, 30)).cumsum(0) * 0.1, -1, 1)
+    sig, sr = synth.speak(inv_normalize_cp(cp_true))
+    return sig, sr
+
+
+@pytest.fixture(scope="module")
+def paule_model(target):
+    return Paule(seed=1)
+
+
+@pytest.fixture(scope="module")
+def cp_11zeros():
+    return np.zeros((11, 30))
+
+
+TINY = dict(n_outer=1, n_inner=2, n_batches=1, batch_size=2, n_epochs=1,
+            log_ii=1, verbose=False)
+
+
+def test_exceptions(paule_model, target, cp_11zeros):
+    with pytest.raises(ValueError, match="has to be not None"):
+        paule_model.plan_resynth(target_acoustic=None, target_semvec=None)
+
+    with pytest.raises(ValueError, match="can only be logged"):
+        paule_model.plan_resynth(target_acoustic=target, n_inner=5, log_ii=10)
+
+    with pytest.raises(ValueError, match="target_seq_length"):
+        paule_model.plan_resynth(target_acoustic=None,
+                                 target_semvec=TARGET_SEMVEC)
+
+    with pytest.raises(ValueError, match="initialize_from has to be"):
+        paule_model.plan_resynth(target_acoustic=target,
+                                 initialize_from="ERROR", **TINY)
+
+    with pytest.raises(ValueError):
+        paule_model.plan_resynth(target_acoustic=target,
+                                 initial_cp=cp_11zeros,
+                                 initialize_from="ERROR", **TINY)
+
+    with pytest.raises(ValueError):
+        paule_model.plan_resynth(target_acoustic=target,
+                                 initial_cp=cp_11zeros, **TINY)
+
+    with pytest.raises(ValueError, match="past_cp"):
+        paule_model.plan_resynth(target_acoustic=target,
+                                 past_cp=cp_11zeros, **TINY)
+
+    with pytest.raises(ValueError, match="objective has to be"):
+        paule_model.plan_resynth(target_acoustic=target, objective="ERROR",
+                                 **TINY)
+
+    with pytest.raises(NotImplementedError):
+        Paule(use_somatosensory_feedback=True, use_speech_classifier=True)
+
+
+def test_plan_resynth_acoustic(paule_model, target):
+    res = paule_model.plan_resynth(target_acoustic=target,
+                                   objective="acoustic", **TINY)
+    assert res.planned_cp.shape == (40, 30)
+    assert len(res.prod_loss_steps) == 2
+    assert len(res.planned_loss_steps) == 2
+    assert np.isfinite(res.prod_loss_steps).all()
+    assert res.prod_sig.shape == (39 * 110,)
+    assert res.target_mel.shape == (20, 60)
+    assert res.pred_mel.shape == (20, 60)
+    assert res.prod_semvec.shape == (300,)
+    assert len(res.pred_model_loss) == 1  # n_epochs=1 per outer iter
+    assert paule_model.best_synthesis_acoustic.mel_loss < np.inf
+
+
+def test_planning_reduces_planned_loss(target):
+    p = Paule(seed=2)
+    res = p.plan_resynth(target_acoustic=target, objective="acoustic",
+                         n_outer=1, n_inner=10, log_ii=1,
+                         continue_learning=False, verbose=False)
+    assert res.planned_loss_steps[-1] < res.planned_loss_steps[0]
+
+
+def test_plan_resynth_acoustic_semvec(paule_model, target):
+    res = paule_model.plan_resynth(target_acoustic=target,
+                                   objective="acoustic_semvec",
+                                   continue_learning_inv=True, **TINY)
+    assert len(res.pred_semvec_loss_steps) == 2
+    assert len(res.prod_semvec_loss_steps) == 2
+    assert len(res.inv_model_loss) == 1
+
+
+def test_plan_resynth_semvec_objective(paule_model, target):
+    res = paule_model.plan_resynth(target_acoustic=target,
+                                   objective="semvec", **TINY)
+    assert len(res.pred_semvec_loss_steps) == 2
+    assert len(res.planned_mel_loss_steps) == 2  # mel still logged
+
+
+def test_semvec_only_target(paule_model):
+    res = paule_model.plan_resynth(
+        target_acoustic=None, target_semvec=TARGET_SEMVEC,
+        target_seq_length=12, objective="semvec", initialize_from="semvec",
+        **TINY)
+    assert res.planned_cp.shape == (24, 30)
+    assert res.target_mel.shape == (12, 60)
+    assert res.target_sig is not None  # Griffin-Lim reference audio
+
+
+def test_mel_array_target(paule_model):
+    mel = np.zeros((10, 60))
+    res = paule_model.plan_resynth(target_acoustic=mel, objective="acoustic",
+                                   **TINY)
+    assert res.planned_cp.shape == (20, 30)
+
+
+def test_initial_cp_and_past_cp(paule_model, target):
+    initial = np.zeros((40, 30))
+    res = paule_model.plan_resynth(target_acoustic=target, initial_cp=initial,
+                                   initialize_from=None, **TINY)
+    assert res.planned_cp.shape == (40, 30)
+
+    past = 0.1 * np.ones((4, 30))
+    res = paule_model.plan_resynth(target_acoustic=target, past_cp=past,
+                                   **TINY)
+    assert res.planned_cp.shape == (44, 30)
+    # past rows restored after every update
+    np.testing.assert_allclose(res.planned_cp[:4], past)
+
+
+def test_smiling_constraint(target):
+    p = Paule(seed=3, smiling=True)
+    res = p.plan_resynth(target_acoustic=target, continue_learning=False,
+                         **TINY)
+    np.testing.assert_allclose(res.planned_cp[:, 4], -1.0)
+    np.testing.assert_allclose(res.planned_cp[:, 1], 1.0)
+
+
+def test_clamp_constraint(paule_model, target):
+    res = paule_model.plan_resynth(target_acoustic=target, **TINY)
+    assert np.abs(res.planned_cp).max() <= 1.05 + 1e-9
+
+
+def test_speech_classifier_variant(target):
+    p = Paule(seed=4, use_speech_classifier=True)
+    res = p.plan_resynth(target_acoustic=target, objective="acoustic", **TINY)
+    assert len(res.pred_speech_classifier_loss_steps) == 2
+    assert len(res.prod_speech_classifier_loss_steps) == 2
+
+
+def test_somatosensory_variant(target):
+    p = Paule(seed=5, use_somatosensory_feedback=True)
+    res = p.plan_resynth(target_acoustic=target, objective="acoustic_semvec",
+                         continue_learning_tube=True, **TINY)
+    assert len(res.prod_tube_loss_steps) == 2
+    assert len(res.pred_tube_mel_loss_steps) == 2
+    assert len(res.prod_tube_semvec_loss_steps) == 2
+    assert res.prod_tube.shape[-1] == 10
+    assert len(res.tube_model_loss) == 1
+    assert p.best_synthesis_somatosensory.tube_loss < np.inf
+
+
+def test_sync_and_async_synthesis_agree(target):
+    kw = dict(target_acoustic=target, objective="acoustic",
+              continue_learning=False, n_outer=1, n_inner=2, log_ii=1,
+              verbose=False)
+    p1 = Paule(seed=7, synthesis_async=False)
+    r1 = p1.plan_resynth(**kw)
+    p2 = Paule(seed=7, synthesis_async=True)
+    r2 = p2.plan_resynth(**kw)
+    np.testing.assert_allclose(r1.planned_cp, r2.planned_cp, atol=1e-6)
+    np.testing.assert_allclose(r1.prod_loss_steps, r2.prod_loss_steps,
+                               rtol=1e-6)
+
+
+def test_plan_iterative(paule_model, target):
+    sig, sr = target
+    planned_cp, results = paule_model.plan_iterative(
+        target_acoustic=(np.tile(sig, 2), sr), chunk_size=16, overlap=4,
+        objective="acoustic", n_outer=1, n_inner=2, log_ii=1,
+        continue_learning=False, n_batches=1, batch_size=2, n_epochs=1)
+    assert planned_cp.shape[1] == 30
+    assert len(results) >= 2
+    total_frames = sum(r.target_mel.shape[0] for r in results) \
+        - (len(results) - 1) * 2  # overlap/2 mel frames re-planned per chunk
+    assert planned_cp.shape[0] == 2 * total_frames
+
+
+def test_visualize_results(tmp_path, paule_model, target):
+    res = paule_model.plan_resynth(target_acoustic=target,
+                                   objective="acoustic", **TINY)
+    from paule_tpu import visualize
+
+    visualize.visualize_results(res, condition="t", folder=str(tmp_path))
+    names = {f.name for f in tmp_path.iterdir()}
+    assert {"t_mel.png", "t_planned.wav", "t_initial.wav", "t_target.wav",
+            "t_loss.png", "t_loss_mel.png", "t_cps.png"} <= names
