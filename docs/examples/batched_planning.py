@@ -1,0 +1,29 @@
+"""TPU-native extension example: plan a batch of utterances data-parallel
+over a device mesh (one utterance per dp shard), with host synthesis fanned
+out over the C++ synthesizer pool."""
+
+import numpy as np
+
+from paule_tpu.api import Paule
+from paule_tpu.parallel import batched, make_mesh
+from paule_tpu import synth
+from paule_tpu.dsp.mel import librosa_melspec
+from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
+
+paule_model = Paule()
+
+# build a batch of same-length targets (here: copy-synthesis targets)
+rng = np.random.default_rng(0)
+targets = []
+for b in range(8):
+    cp = np.clip(rng.normal(0, 0.1, (64, 30)).cumsum(0) * 0.1, -1, 1)
+    sig, sr = synth.speak(inv_normalize_cp(cp))
+    mel = normalize_mel(librosa_melspec(sig, sr))
+    targets.append(mel - mel.min())
+target_mels = np.stack(targets)  # (8, 32, 60)
+
+mesh = make_mesh()  # all available devices, pure dp
+out = batched.plan_batch(paule_model, target_mels, mesh=mesh, n_steps=50,
+                         objective="acoustic")
+print("planned:", out["planned_cp"].shape)
+print("final planned losses:", out["sub_losses"].total[-1])
