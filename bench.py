@@ -137,26 +137,33 @@ def bench_torch(target):
 
     one_step(log=False)  # warmup
 
+    # measure a few steps and extrapolate linearly (per-step cost is
+    # constant): N_MEASURE planning steps -> N_INNER, and N_MEASURE training
+    # batches -> N_EPOCHS * N_BATCHES
+    N_MEASURE = 3
     t0 = time.perf_counter()
     prod_mels, cps_list = [], []
-    for _ in range(N_INNER):
+    for _ in range(N_MEASURE):
         pmel = one_step(log=True)
         prod_mels.append(pmel)
         cps_list.append(xx[0].detach().numpy().copy())
-    # continue-learning: 10 epochs x 3 batches of 8 on the produced data
+    t_plan = (time.perf_counter() - t0) / N_MEASURE * N_INNER
+
     f_opt = torch.optim.Adam(fwd.parameters(), lr=0.001)
     idx_pool = list(range(len(cps_list)))
     rng = np.random.default_rng(0)
-    for _ in range(N_EPOCHS):
-        for _ in range(N_BATCHES):
-            idx = rng.choice(idx_pool, size=BATCH_SIZE)
-            bi = torch.from_numpy(np.stack([cps_list[i] for i in idx]))
-            bo = torch.from_numpy(np.stack([prod_mels[i] for i in idx]))
-            f_opt.zero_grad()
-            loss = rmse(fwd(bi), bo)
-            loss.backward()
-            f_opt.step()
-    return time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(N_MEASURE):
+        idx = rng.choice(idx_pool, size=BATCH_SIZE)
+        bi = torch.from_numpy(np.stack([cps_list[i] for i in idx]))
+        bo = torch.from_numpy(np.stack([prod_mels[i] for i in idx]))
+        f_opt.zero_grad()
+        loss = rmse(fwd(bi), bo)
+        loss.backward()
+        f_opt.step()
+    t_train = ((time.perf_counter() - t0) / N_MEASURE
+               * N_EPOCHS * N_BATCHES)
+    return t_plan + t_train
 
 
 def main():

@@ -154,6 +154,35 @@ def time_conv_res_block(params, x, *, channels, depth="channelwise",
     return out
 
 
+def time_conv_inception_block_init(rng, channels, dtype=jnp.float32):
+    """Parallel 1/3/5 time convolutions with per-channel combine (reference
+    TimeConvIncpetionBlock, /root/reference/paule/models.py:83-110 — unused
+    by the shipped defaults, kept for zoo completeness)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    return {
+        "conv1": conv1d_init(k1, channels, channels, 1, dtype=dtype),
+        "conv3": conv1d_init(k2, channels, channels, 3, groups=channels, dtype=dtype),
+        "conv5": conv1d_init(k3, channels, channels, 5, groups=channels, dtype=dtype),
+        "combine": conv1d_init(k4, 3 * channels, channels, 1, groups=channels, dtype=dtype),
+    }
+
+
+def time_conv_inception_block(params, x, *, channels, activation=None,
+                              add_resid=True):
+    resid = x
+    out = x if activation is None else activation(x)
+    o1 = conv1d(params["conv1"], out)
+    o3 = conv1d(params["conv3"], out, groups=channels)
+    o5 = conv1d(params["conv5"], out, groups=channels)
+    b, t, c = o1.shape
+    # interleave per source channel: [o1_i, o3_i, o5_i] groups
+    stacked = jnp.stack([o1, o3, o5], axis=-1).reshape(b, t, 3 * c)
+    out = conv1d(params["combine"], stacked, groups=channels)
+    if add_resid:
+        out = out + resid
+    return out
+
+
 def mel_channel_conv_init(rng, input_units, filter_size_channel, dtype=jnp.float32):
     """Convolution across neighbouring mel channels (reference
     MelChannelConv1D, /root/reference/paule/models.py:142-169)."""

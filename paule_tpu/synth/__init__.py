@@ -234,6 +234,115 @@ def tract_to_tube(tract_params):
     return tl, ta, ai, inc.value, tt.value, vel.value
 
 
+def synthesis_add_tube(n_samples, tube_areas, glottis, *, tube_lengths=None,
+                       velum_opening_cm2=0.0):
+    """Incremental synthesis directly from 40 tube-section areas (bypasses
+    the tract model).  Returns the synthesized samples (empty on the first,
+    state-installing call)."""
+    lib = _default()
+    areas = np.ascontiguousarray(tube_areas, dtype=np.float64)
+    if areas.shape != (N_TUBE_SECTIONS,):
+        raise ValueError(f"tube_areas must be ({N_TUBE_SECTIONS},)")
+    if tube_lengths is None:
+        lengths = np.full(N_TUBE_SECTIONS, 16.0 / N_TUBE_SECTIONS)
+    else:
+        lengths = np.ascontiguousarray(tube_lengths, dtype=np.float64)
+    gl = np.ascontiguousarray(glottis, dtype=np.float64)
+    audio = np.zeros(max(n_samples, 1), dtype=np.float64)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    failure = lib.pts_synthesis_add_tube(
+        int(n_samples), audio.ctypes.data_as(dptr),
+        areas.ctypes.data_as(dptr), lengths.ctypes.data_as(dptr),
+        gl.ctypes.data_as(dptr), ctypes.c_double(velum_opening_cm2))
+    if failure != 0:
+        raise ValueError(f"Error in pts_synthesis_add_tube! Errorcode: {failure}")
+    return audio[:n_samples]
+
+
+def get_transfer_function(tract_params, n_points=1024):
+    """Vocal-tract transfer function (magnitude, phase) at ``n_points``
+    frequency bins up to Nyquist."""
+    lib = _default()
+    tract = np.ascontiguousarray(tract_params, dtype=np.float64)
+    mag = np.zeros(n_points)
+    ph = np.zeros(n_points)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    failure = lib.pts_get_transfer_function(
+        tract.ctypes.data_as(dptr), int(n_points),
+        mag.ctypes.data_as(dptr), ph.ctypes.data_as(dptr))
+    if failure != 0:
+        raise ValueError(f"Error in pts_get_transfer_function! Errorcode: {failure}")
+    return mag, ph
+
+
+def input_tract_to_limited_tract(tract_params):
+    """Clamp 19 tract params into the speaker's domain."""
+    lib = _default()
+    tract = np.ascontiguousarray(tract_params, dtype=np.float64)
+    out = np.zeros_like(tract)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    failure = lib.pts_input_tract_to_limited_tract(
+        tract.ctypes.data_as(dptr), out.ctypes.data_as(dptr))
+    if failure != 0:
+        raise ValueError(f"Errorcode: {failure}")
+    return out
+
+
+def calc_tongue_root_automatically(tract_params):
+    """Fill TRX/TRY from the tongue-body position (linear coupling)."""
+    lib = _default()
+    tract = np.ascontiguousarray(tract_params, dtype=np.float64).copy()
+    dptr = ctypes.POINTER(ctypes.c_double)
+    failure = lib.pts_calc_tongue_root_automatically(
+        tract.ctypes.data_as(dptr))
+    if failure != 0:
+        raise ValueError(f"Errorcode: {failure}")
+    return tract
+
+
+def save_speaker(path):
+    """Write the current speaker definition to a speaker file."""
+    lib = _default()
+    failure = lib.pts_save_speaker(str(path).encode())
+    if failure != 0:
+        raise ValueError(f"Error in pts_save_speaker! Errorcode: {failure}")
+
+
+def ges_to_audio(ges_file, wav_file=None):
+    """Render a gestural score to audio; optionally also write a WAV."""
+    lib = _default()
+    n = ctypes.c_int(0)
+    # first call: query length only
+    failure = lib.pts_gestural_score_to_audio(
+        str(ges_file).encode(), b"", None, 0, ctypes.byref(n))
+    if failure != 0:
+        raise ValueError(
+            f"Error in pts_gestural_score_to_audio! Errorcode: {failure}")
+    audio = np.zeros(n.value, dtype=np.float64)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    failure = lib.pts_gestural_score_to_audio(
+        str(ges_file).encode(),
+        str(wav_file).encode() if wav_file else b"",
+        audio.ctypes.data_as(dptr), n.value, ctypes.byref(n))
+    if failure != 0:
+        raise ValueError(
+            f"Error in pts_gestural_score_to_audio! Errorcode: {failure}")
+    return audio, SAMPLE_RATE
+
+
+def ges_to_ema_and_mesh(ges_file, file_prefix, *, path=""):
+    """Render a gestural score directly to EMA + mesh files."""
+    lib = _default()
+    if path and not os.path.exists(path):
+        os.makedirs(path, exist_ok=True)
+    failure = lib.pts_gestural_score_to_ema_and_mesh(
+        str(ges_file).encode(), str(path).encode(), str(file_prefix).encode())
+    if failure != 0:
+        raise ValueError(
+            f"Error in pts_gestural_score_to_ema_and_mesh! "
+            f"Errorcode: {failure}")
+
+
 def export_svgs(cps, path="svgs/", hop_length=5):
     """Per-frame midsagittal SVG export (hop 5 ~ 80 fps, hop 16 ~ 25 fps)."""
     lib = _default()

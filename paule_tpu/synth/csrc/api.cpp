@@ -10,10 +10,12 @@
 //
 // All functions return 0 on success and a nonzero error code on failure.
 
+#include <algorithm>
 #include <cstring>
 #include <memory>
 #include <mutex>
 #include <string>
+#include <vector>
 
 #include "model.h"
 
@@ -187,6 +189,86 @@ int pts_tract_to_tube(const double* tract, double* tube_length,
   if (!inst) return 1;
   return pts_tract_to_tube_h(inst, tract, tube_length, tube_area, articulator,
                              incisor_pos, tongue_tip_side, velum_opening);
+}
+
+int pts_synthesis_add_tube(int n_samples, double* audio,
+                           const double* tube_areas,
+                           const double* tube_lengths, const double* glottis,
+                           double velum_opening_cm2) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return inst->synth->add_tube(n_samples, audio, tube_areas, tube_lengths,
+                               glottis, velum_opening_cm2);
+}
+
+int pts_fast_tract_to_tube(const double* tract, double* tube_length,
+                           double* tube_area, int* articulator,
+                           double* incisor_pos, double* tongue_tip_side,
+                           double* velum_opening) {
+  // the geometric tract model is already closed-form; the "fast" variant is
+  // the same computation (kept for API surface parity)
+  return pts_tract_to_tube(tract, tube_length, tube_area, articulator,
+                           incisor_pos, tongue_tip_side, velum_opening);
+}
+
+int pts_get_transfer_function(const double* tract, int n_points,
+                              double* magnitude, double* phase) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  if (n_points <= 0) return 2;
+  tract_transfer_function(inst->synth->speaker(), tract, n_points, magnitude,
+                          phase);
+  return 0;
+}
+
+int pts_input_tract_to_limited_tract(const double* tract_in,
+                                     double* tract_out) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  input_tract_to_limited_tract(inst->synth->speaker(), tract_in, tract_out);
+  return 0;
+}
+
+int pts_calc_tongue_root_automatically(double* tract) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  calc_tongue_root_automatically(inst->synth->speaker(), tract);
+  return 0;
+}
+
+int pts_save_speaker(const char* path) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  return save_speaker(inst->synth->speaker(), path ? path : "");
+}
+
+int pts_gestural_score_to_audio(const char* ges_path, const char* wav_path,
+                                double* audio, int max_samples,
+                                int* n_samples) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  std::string err;
+  std::vector<double> buf;
+  int rc = gestural_score_to_audio(inst->synth->speaker(),
+                                   ges_path ? ges_path : "",
+                                   wav_path ? wav_path : "", &buf, &err);
+  if (rc != 0) return rc;
+  if (n_samples) *n_samples = (int)buf.size();
+  if (audio && max_samples > 0) {
+    int n = std::min((int)buf.size(), max_samples);
+    std::memcpy(audio, buf.data(), sizeof(double) * n);
+  }
+  return 0;
+}
+
+int pts_gestural_score_to_ema_and_mesh(const char* ges_path, const char* dir,
+                                       const char* prefix) {
+  auto* inst = default_inst();
+  if (!inst) return 1;
+  std::string err;
+  return gestural_score_to_ema_and_mesh(
+      inst->synth->speaker(), ges_path ? ges_path : "", dir ? dir : "",
+      prefix ? prefix : "out", &err);
 }
 
 int pts_export_tract_svg(const double* tract, const char* path) {

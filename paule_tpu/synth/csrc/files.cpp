@@ -216,6 +216,100 @@ int gesture_file_to_tract_sequence(const Speaker& spk, const std::string& ges,
   return 0;
 }
 
+namespace {
+
+// minimal 16-bit PCM WAV writer
+int write_wav(const std::string& path, const std::vector<double>& audio,
+              int sample_rate) {
+  std::ofstream out(path, std::ios::binary);
+  if (!out) return 1;
+  auto w32 = [&](uint32_t v) { out.write((const char*)&v, 4); };
+  auto w16 = [&](uint16_t v) { out.write((const char*)&v, 2); };
+  uint32_t data_bytes = (uint32_t)audio.size() * 2;
+  out.write("RIFF", 4);
+  w32(36 + data_bytes);
+  out.write("WAVE", 4);
+  out.write("fmt ", 4);
+  w32(16);
+  w16(1);  // PCM
+  w16(1);  // mono
+  w32((uint32_t)sample_rate);
+  w32((uint32_t)sample_rate * 2);
+  w16(2);
+  w16(16);
+  out.write("data", 4);
+  w32(data_bytes);
+  for (double v : audio) {
+    double c = v < -1.0 ? -1.0 : (v > 1.0 ? 1.0 : v);
+    int16_t s = (int16_t)std::lround(c * 32767.0);
+    out.write((const char*)&s, 2);
+  }
+  return 0;
+}
+
+}  // namespace
+
+int gestural_score_to_audio(const Speaker& spk, const std::string& ges,
+                            const std::string& wav_path,
+                            std::vector<double>* audio_out,
+                            std::string* err) {
+  std::vector<double> states;
+  int rc = gesture_file_to_states(spk, ges, &states, err);
+  if (rc != 0) return rc;
+  const int NP = kTractParams + kGlottisParams;
+  int n_states = (int)(states.size() / NP);
+  if (n_states < 2) return 4;
+
+  // de-interleave into tract / glottis blocks
+  std::vector<double> tract((size_t)n_states * kTractParams);
+  std::vector<double> glottis((size_t)n_states * kGlottisParams);
+  for (int s = 0; s < n_states; ++s) {
+    for (int i = 0; i < kTractParams; ++i)
+      tract[(size_t)s * kTractParams + i] = states[(size_t)s * NP + i];
+    for (int i = 0; i < kGlottisParams; ++i)
+      glottis[(size_t)s * kGlottisParams + i] =
+          states[(size_t)s * NP + kTractParams + i];
+  }
+  std::vector<double> audio((size_t)(n_states - 1) * kSamplesPerState);
+  Synthesizer synth(spk);
+  rc = synth.synth_block(tract.data(), glottis.data(), n_states,
+                         kSamplesPerState, audio.data());
+  if (rc != 0) return rc;
+  if (!wav_path.empty()) {
+    rc = write_wav(wav_path, audio, kAudioSampleRate);
+    if (rc != 0) {
+      if (err) *err = "cannot write wav file: " + wav_path;
+      return 5;
+    }
+  }
+  if (audio_out) *audio_out = std::move(audio);
+  return 0;
+}
+
+int gestural_score_to_ema_and_mesh(const Speaker& spk, const std::string& ges,
+                                   const std::string& dir,
+                                   const std::string& prefix,
+                                   std::string* err) {
+  std::vector<double> states;
+  int rc = gesture_file_to_states(spk, ges, &states, err);
+  if (rc != 0) return rc;
+  const int NP = kTractParams + kGlottisParams;
+  int n_states = (int)(states.size() / NP);
+  std::vector<double> tract((size_t)n_states * kTractParams);
+  std::vector<double> glottis((size_t)n_states * kGlottisParams);
+  for (int s = 0; s < n_states; ++s) {
+    for (int i = 0; i < kTractParams; ++i)
+      tract[(size_t)s * kTractParams + i] = states[(size_t)s * NP + i];
+    for (int i = 0; i < kGlottisParams; ++i)
+      glottis[(size_t)s * kGlottisParams + i] =
+          states[(size_t)s * NP + kTractParams + i];
+  }
+  const int surf[3] = {16, 16, 16};
+  const int vert[3] = {115, 225, 335};
+  return tract_seq_to_ema_and_mesh(spk, tract.data(), glottis.data(),
+                                   n_states, 3, surf, vert, dir, prefix);
+}
+
 int export_tract_svg(const Speaker& spk, const double* tract,
                      const std::string& path) {
   Outline o;

@@ -612,6 +612,7 @@ void Synthesizer::reset() {
   wg_.reset();
   glottis_state_.reset();
   has_state_ = false;
+  has_tube_state_ = false;
   cur_tract_.fill(0.0);
   cur_glottis_.fill(0.0);
 }
@@ -652,6 +653,121 @@ int Synthesizer::synth_block(const double* tract, const double* glottis,
                audio + (size_t)(f - 1) * frame_steps);
     std::memcpy(cur_tract_.data(), tr, sizeof(cur_tract_));
     std::memcpy(cur_glottis_.data(), gl, sizeof(cur_glottis_));
+  }
+  return 0;
+}
+
+int Synthesizer::add_tube(int n_samples, double* audio,
+                          const double* tube_areas, const double* tube_lengths,
+                          const double* glottis, double velum_opening_cm2) {
+  Tube target{};
+  for (int i = 0; i < kTubeSections; ++i) {
+    target.area_cm2[i] = clampd(tube_areas[i], 0.0, 15.0);
+    target.length_cm[i] = tube_lengths ? tube_lengths[i] : 16.0 / kTubeSections;
+    target.articulator[i] = kOtherArticulator;
+  }
+  target.velum_opening_cm2 = clampd(velum_opening_cm2, 0.0, 2.0);
+  target.incisor_pos_cm = 15.0;
+  target.tongue_tip_side_elevation = 0.0;
+  target.total_length_cm = 0.0;
+  for (int i = 0; i < kTubeSections; ++i)
+    target.total_length_cm += target.length_cm[i];
+
+  if (!has_tube_state_ || n_samples <= 0) {
+    cur_tube_ = target;
+    std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
+    has_tube_state_ = true;
+    return 0;
+  }
+  Tube t = cur_tube_;
+  double gp[kGlottisParams];
+  for (int s = 0; s < n_samples; ++s) {
+    double a = (double)(s + 1) / n_samples;
+    for (int i = 0; i < kTubeSections; ++i) {
+      t.area_cm2[i] = lerp(cur_tube_.area_cm2[i], target.area_cm2[i], a);
+      t.length_cm[i] = lerp(cur_tube_.length_cm[i], target.length_cm[i], a);
+    }
+    t.velum_opening_cm2 = lerp(cur_tube_.velum_opening_cm2,
+                               target.velum_opening_cm2, a);
+    for (int i = 0; i < kGlottisParams; ++i)
+      gp[i] = lerp(cur_glottis_[i], glottis[i], a);
+    double flow = glottis_state_.step(speaker_, gp, nullptr);
+    audio[s] = wg_.step(t, flow, 0.0);
+  }
+  cur_tube_ = target;
+  std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// analysis / utility surface
+// ---------------------------------------------------------------------------
+
+void tract_transfer_function(const Speaker& spk, const double* tract,
+                             int n_points, double* magnitude, double* phase) {
+  // impulse response of the static tube through the waveguide, then a DFT at
+  // n_points uniformly spaced frequencies up to Nyquist
+  Tube tube;
+  tract_to_tube(spk, tract, &tube);
+  Waveguide wg;
+  wg.reset();
+  constexpr int N = 4096;
+  std::vector<double> h(N);
+  for (int s = 0; s < N; ++s) {
+    double flow = (s == 0) ? 1.0e4 : 0.0;  // impulse of glottal flow
+    h[s] = wg.step(tube, flow, 0.0);
+  }
+  for (int k = 0; k < n_points; ++k) {
+    double w = M_PI * (double)k / (double)n_points;  // 0..pi (Nyquist)
+    double re = 0.0, im = 0.0;
+    for (int s = 0; s < N; ++s) {
+      re += h[s] * std::cos(w * s);
+      im -= h[s] * std::sin(w * s);
+    }
+    magnitude[k] = std::sqrt(re * re + im * im);
+    phase[k] = std::atan2(im, re);
+  }
+}
+
+void input_tract_to_limited_tract(const Speaker& spk, const double* in,
+                                  double* out) {
+  std::memcpy(out, in, sizeof(double) * kTractParams);
+  spk.clamp_tract(out);
+}
+
+void calc_tongue_root_automatically(const Speaker& spk, double* tract) {
+  // linear coupling of the tongue root to the tongue body position
+  double trx = 0.94 * tract[8] - 1.10;   // from TCX
+  double try_ = 0.83 * tract[9] - 2.00;  // from TCY
+  tract[14] = clampd(trx, spk.tract_params[14].min, spk.tract_params[14].max);
+  tract[15] = clampd(try_, spk.tract_params[15].min, spk.tract_params[15].max);
+}
+
+int save_speaker(const Speaker& spk, const std::string& path) {
+  std::ofstream out(path);
+  if (!out) return 1;
+  out << "# paule_tpu speaker definition\n[meta]\nname = " << spk.name << "\n";
+  out << "[anatomy]\n";
+  out << "base_length_cm = " << spk.base_length_cm << "\n";
+  out << "fold_length_cm = " << spk.fold_length_cm << "\n";
+  out << "nasal_length_cm = " << spk.nasal_length_cm << "\n";
+  out << "[tract_params]\n";
+  for (size_t i = 0; i < spk.tract_params.size(); ++i) {
+    auto& p = spk.tract_params[i];
+    out << i << " " << p.name << " " << p.min << " " << p.max << " "
+        << p.neutral << "\n";
+  }
+  out << "[glottis_params]\n";
+  for (size_t i = 0; i < spk.glottis_params.size(); ++i) {
+    auto& p = spk.glottis_params[i];
+    out << i << " " << p.name << " " << p.min << " " << p.max << " "
+        << p.neutral << "\n";
+  }
+  out << "[phones]\n";
+  for (auto& ph : spk.phones) {
+    out << ph.name << " " << (ph.voiced ? 1 : 0) << " " << ph.time_constant_s;
+    for (double v : ph.target) out << " " << v;
+    out << "\n";
   }
   return 0;
 }

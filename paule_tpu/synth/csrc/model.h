@@ -148,6 +148,12 @@ class Synthesizer {
   int add_tract(int n_samples, double* audio, const double* tract,
                 const double* glottis);
 
+  // vtlSynthesisAddTube equivalent: synthesize directly from tube areas
+  // (bypasses the tract model), ramping from the current tube state
+  int add_tube(int n_samples, double* audio, const double* tube_areas,
+               const double* tube_lengths, const double* glottis,
+               double velum_opening_cm2);
+
  private:
   void synth_ramp(const double* tract0, const double* glottis0,
                   const double* tract1, const double* glottis1, int n,
@@ -159,7 +165,25 @@ class Synthesizer {
   bool has_state_ = false;
   std::array<double, kTractParams> cur_tract_{};
   std::array<double, kGlottisParams> cur_glottis_{};
+  bool has_tube_state_ = false;
+  Tube cur_tube_{};
 };
+
+// vocal-tract transfer function: magnitude/phase of the tube's frequency
+// response (glottis volume-velocity -> lip output) at n_points bins up to
+// Nyquist, measured from the waveguide's impulse response
+void tract_transfer_function(const Speaker& spk, const double* tract,
+                             int n_points, double* magnitude, double* phase);
+
+// clamp tract parameters into the speaker's domain (in place)
+void input_tract_to_limited_tract(const Speaker& spk, const double* in,
+                                  double* out);
+
+// derive tongue-root parameters (TRX/TRY) from the tongue-body position via
+// the speaker's linear coupling (automatic tongue root)
+void calc_tongue_root_automatically(const Speaker& spk, double* tract);
+
+int save_speaker(const Speaker& spk, const std::string& path);
 
 // ---------------------------------------------------------------------------
 // file-based pipelines (files.cpp)
@@ -181,6 +205,18 @@ int gesture_file_to_states(const Speaker& spk, const std::string& ges,
 
 int export_tract_svg(const Speaker& spk, const double* tract,
                      const std::string& path);
+
+// render a gestural score to audio (WAV written to wav_path when non-empty;
+// samples also returned via *audio_out)
+int gestural_score_to_audio(const Speaker& spk, const std::string& ges,
+                            const std::string& wav_path,
+                            std::vector<double>* audio_out, std::string* err);
+
+// render a gestural score directly to EMA (and optionally mesh) files
+int gestural_score_to_ema_and_mesh(const Speaker& spk, const std::string& ges,
+                                   const std::string& dir,
+                                   const std::string& prefix,
+                                   std::string* err);
 
 int tract_seq_to_ema_and_mesh(const Speaker& spk, const double* tract,
                               const double* glottis, int n_frames, int n_ema,

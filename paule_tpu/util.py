@@ -43,6 +43,9 @@ from .synth import (  # noqa: F401
     speak, speak_and_extract_tube_information,
 )
 
+# --- plotting ---------------------------------------------------------------
+from .visualize import plot_cp, plot_mel  # noqa: F401
+
 # --- losses / derivatives ----------------------------------------------------
 from .ops.losses import (  # noqa: F401
     cp_trajectory_loss, rmse as rmse_loss, velocity_jerk_loss,
