@@ -51,8 +51,8 @@ def bench_ours(target):
               initialize_from="acoustic", log_ii=1, log_semantics=True,
               n_batches=N_BATCHES, batch_size=BATCH_SIZE, n_epochs=N_EPOCHS,
               continue_learning=True, verbose=False)
-    # warmup: compile everything with the same shapes
-    p.plan_resynth(n_outer=1, n_inner=2, **kw)
+    # warmup: compile everything with the same shapes as the measured run
+    p.plan_resynth(n_outer=1, n_inner=N_INNER, **kw)
     t0 = time.perf_counter()
     p.plan_resynth(n_outer=1, n_inner=N_INNER, **kw)
     return time.perf_counter() - t0

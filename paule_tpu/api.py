@@ -14,6 +14,7 @@
 """
 
 import concurrent.futures
+import functools
 import os
 import random
 import time
@@ -47,6 +48,8 @@ DIR = os.path.dirname(__file__)
 
 
 def _to_np(x):
+    if isinstance(x, jax.Array):
+        x = jax.device_get(x)
     return np.asarray(x, dtype=np.float64)
 
 
@@ -178,8 +181,35 @@ class Paule:
         if self.use_somatosensory_feedback:
             self.best_synthesis_somatosensory = None
 
-        self._synth_pool = synth.SynthPool(size=2, speaker_path=speaker)
-        self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        n_workers = min(8, os.cpu_count() or 2)
+        self._synth_pool = synth.SynthPool(size=n_workers,
+                                           speaker_path=speaker)
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=n_workers)
+
+        # Persistent jitted apply wrappers.  Model ``apply`` called eagerly
+        # dispatches an un-cached `lax.scan` (the LSTM), which re-compiles on
+        # every call (~0.6 s each on TPU); routing every host-path model
+        # evaluation through these wrappers makes compilation a one-time
+        # per-shape cost.  Params are traced arguments, so continue-learning
+        # updates never trigger re-compilation.
+        self._j_pred = jax.jit(lambda p, x: self.pred_model.apply(p, x))
+        self._j_inv = jax.jit(lambda p, x: self.inv_model.apply(p, x))
+        self._j_embed = jax.jit(
+            lambda p, x, lens: self.embedder.apply(
+                p, x, lens, deterministic=True))
+        if self.use_speech_classifier:
+            self._j_speech_classifier = jax.jit(
+                lambda p, x: self.speech_classifier.apply(p, x))
+        if self.use_somatosensory_feedback:
+            self._j_cp_tube = jax.jit(
+                lambda p, x: self.cp_tube_model.apply(p, x))
+            self._j_tube_mel = jax.jit(
+                lambda p, x: self.tube_mel_model.apply(p, x))
+            self._j_tube_embed = jax.jit(
+                lambda p, x, lens: self.tube_embedder.apply(
+                    p, x, lens, deterministic=True))
+        self._j_prod_metrics = self._make_prod_metrics()
 
     # ------------------------------------------------------------------
     # helpers
@@ -251,12 +281,16 @@ class Paule:
         """mel (1, T, 60) -> semvec (1, 300)."""
         mel = jnp.asarray(mel, dtype=self.dtype)
         lens = jnp.full((mel.shape[0],), mel.shape[1])
+        if deterministic:
+            return self._j_embed(self.embedder_params, mel, lens)
         return self.embedder.apply(self.embedder_params, mel, lens,
                                    deterministic=deterministic, rng=rng)
 
     def _tube_embed(self, tube, deterministic=True, rng=None):
         tube = jnp.asarray(tube, dtype=self.dtype)
         lens = jnp.full((tube.shape[0],), tube.shape[1])
+        if deterministic:
+            return self._j_tube_embed(self.tube_embedder_params, tube, lens)
         return self.tube_embedder.apply(
             self.tube_embedder_params, tube, lens,
             deterministic=deterministic, rng=rng)
@@ -265,11 +299,95 @@ class Paule:
         self._jax_rng, sub = jax.random.split(self._jax_rng)
         return sub
 
+    def _make_prod_metrics(self):
+        """Build the jitted batched produced-audio metrics program: all
+        logged synthesis snapshots of one outer iteration are featurized,
+        embedded and scored in a single compiled call (the per-step eager
+        version cost one device round-trip per model per step)."""
+        use_sc = self.use_speech_classifier
+        use_somato = self.use_somatosensory_feedback
+        embedder = self.embedder
+        sc = self.speech_classifier
+        cp_tube = self.cp_tube_model
+        tube_mel = self.tube_mel_model
+        tube_embedder = self.tube_embedder
+        dtype = self.dtype
+
+        @functools.partial(jax.jit, static_argnames=("want_semvec",))
+        def fn(params, sigs, snaps, prod_tubes, target_mel, target_semvec,
+               *, want_semvec):
+            out = {}
+            prod_mel = normalize_mel(jax.vmap(
+                lambda s_: melspec_44100(s_, dtype=dtype))(sigs))
+            out["prod_mel"] = prod_mel  # (L, F, 60)
+            per_mel = jax.vmap(lambda m: L.rmse(m, target_mel[0]))
+            out["prod_loss"] = MEL_WEIGHT * per_mel(prod_mel)
+            if want_semvec:
+                lens = jnp.full((prod_mel.shape[0],), prod_mel.shape[1])
+                prod_semvec = embedder.apply(params["embedder"], prod_mel,
+                                             lens, deterministic=True)
+                out["prod_semvec"] = prod_semvec
+                out["prod_semvec_loss"] = SEMANTIC_WEIGHT * jax.vmap(
+                    lambda v: L.rmse(v, target_semvec[0]))(prod_semvec)
+            if use_sc:
+                logits = sc.apply(params["speech_classifier"], prod_mel)
+                out["prod_sc_loss"] = SPEECH_CLASSIFIER_WEIGHT * jax.vmap(
+                    lambda lg: L.bce_with_logits(
+                        lg, jnp.zeros_like(lg)))(logits)
+            if use_somato:
+                pred_tube = cp_tube.apply(params["cp_tube"], snaps)
+                prod_tube_mel = tube_mel.apply(params["tube_mel"], prod_tubes)
+                pred_tube_mel = tube_mel.apply(params["tube_mel"], pred_tube)
+                out["pred_tube"] = pred_tube
+                out["prod_tube_mel"] = prod_tube_mel
+                out["pred_tube_mel"] = pred_tube_mel
+                out["prod_tube_loss"] = jax.vmap(L.rmse)(pred_tube,
+                                                         prod_tubes)
+                out["prod_tube_mel_loss"] = (
+                    TUBE_MEL_WEIGHT * per_mel(prod_tube_mel))
+                if want_semvec:
+                    tl = jnp.full((prod_tubes.shape[0],),
+                                  prod_tubes.shape[1])
+                    pts = tube_embedder.apply(
+                        params["tube_embedder"], prod_tubes, tl,
+                        deterministic=True)
+                    out["prod_tube_semvec"] = pts
+                    out["prod_tube_semvec_loss"] = (
+                        TUBE_SEMANTIC_WEIGHT * jax.vmap(
+                            lambda v: L.rmse(v, target_semvec[0]))(pts))
+            return out
+
+        return fn
+
+    def _prod_metrics(self, sigs, snaps_dev, prod_tubes, target_mel_dev,
+                      target_semvec_dev, want_semvec):
+        """Run the batched produced-audio metrics; returns host numpy."""
+        params = {"embedder": self.embedder_params}
+        if self.use_speech_classifier:
+            params["speech_classifier"] = self.speech_classifier_params
+        if self.use_somatosensory_feedback:
+            params["cp_tube"] = self.tube_trainer.params
+            params["tube_mel"] = self.tube_mel_trainer.params
+            params["tube_embedder"] = self.tube_embedder_params
+        host_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        sigs_dev = jnp.asarray(np.asarray(sigs, dtype=host_dtype))
+        if prod_tubes is not None:
+            tubes_dev = jnp.asarray(
+                np.asarray(prod_tubes, dtype=host_dtype))
+        else:
+            tubes_dev = jnp.zeros((sigs_dev.shape[0], 2, 10),
+                                  dtype=self.dtype)
+        out = self._j_prod_metrics(params, sigs_dev, snaps_dev, tubes_dev,
+                                   target_mel_dev, target_semvec_dev,
+                                   want_semvec=want_semvec)
+        return jax.device_get(out)
+
     def _synthesize(self, cps_norm):
         """Denormalize + synthesize on the host; returns (sig, sr[, tube])."""
         cps = inv_normalize_cp(_to_np(cps_norm))
         if self.use_somatosensory_feedback:
-            sig, sr, tube_info = synth.speak_and_extract_tube_information(cps)
+            sig, sr, tube_info = \
+                self._synth_pool.speak_and_extract_tube_information(cps)
             area = synth.get_area_info_within_oral_cavity(
                 tube_info["tube_length_cm"], tube_info["tube_area_cm2"])
             prod_tube = np.concatenate(
@@ -403,8 +521,7 @@ class Paule:
         # ---------------- Phase B: cp initialization ----------------
         if initial_cp is None:
             if initialize_from == "acoustic":
-                cp = self.inv_model.apply(self.inv_trainer.params,
-                                          target_mel_dev)
+                cp = self._j_inv(self.inv_trainer.params, target_mel_dev)
                 initial_cp = np.clip(_to_np(cp)[0], -1.0, 1.0)
             elif initialize_from == "semvec":
                 noise = jax.random.normal(self._next_rng(), (1, 1, 100),
@@ -464,7 +581,7 @@ class Paule:
 
         # ---------------- Phase C: initial baseline ----------------
         bundle = self._bundle()
-        initial_pred_mel_dev = self.pred_model.apply(bundle.pred_params, xx)
+        initial_pred_mel_dev = self._j_pred(bundle.pred_params, xx)
         initial_pred_semvec_dev = self._embed(initial_pred_mel_dev)
 
         xx_new_numpy = _to_np(xx[0])
@@ -473,14 +590,13 @@ class Paule:
 
         somato_init = {}
         if self.use_somatosensory_feedback:
-            initial_pred_tube = self.cp_tube_model.apply(
-                self.tube_trainer.params, xx)
-            initial_pred_tube_mel = self.tube_mel_model.apply(
+            initial_pred_tube = self._j_cp_tube(self.tube_trainer.params, xx)
+            initial_pred_tube_mel = self._j_tube_mel(
                 self.tube_mel_trainer.params, initial_pred_tube)
             initial_pred_tube_semvec = self._tube_embed(initial_pred_tube)
             prod_tube_dev = jnp.asarray(initial_prod_tube[None],
                                         dtype=self.dtype)
-            initial_prod_tube_mel = self.tube_mel_model.apply(
+            initial_prod_tube_mel = self._j_tube_mel(
                 self.tube_mel_trainer.params, prod_tube_dev)
             initial_prod_tube_semvec = self._tube_embed(prod_tube_dev)
             somato_init = {
@@ -527,7 +643,6 @@ class Paule:
         params_dynamic, models_static = engine.split_bundle(bundle)
         opt_state = engine.init_opt_state(xx, learning_rate_planning)
         n_segments = n_inner // log_ii
-        remainder = n_inner % log_ii
 
         sig = initial_sig
         sr = initial_sr
@@ -542,128 +657,135 @@ class Paule:
                 "prod_tube_mel": [], "pred_tube_mel": [],
                 "pred_tube_semvec": [], "prod_tube_semvec": [],
             }
-            pending = []
-
             # refresh dynamic params (may have been trained last outer iter)
             bundle = self._bundle()
             params_dynamic, models_static = engine.split_bundle(bundle)
 
-            for seg in range(n_segments + (1 if remainder else 0)):
-                k = log_ii if seg < n_segments else remainder
-                if k == 0:
-                    continue
-                xx, opt_state, seg_out = engine.plan_segment(
-                    params_dynamic, models_static, xx, opt_state,
-                    target_mel_dev, target_semvec_dev, self._next_rng(),
-                    n_steps=k, objective=objective,
-                    use_speech_classifier=self.use_speech_classifier,
-                    use_somatosensory=self.use_somatosensory_feedback,
-                    log_semantics=log_semantics, constraints=constraints,
-                    lr=learning_rate_planning)
-                if seg >= n_segments:
-                    break  # remainder steps are never logged
+            # ---- ONE compiled scan for the whole outer iteration ----
+            # (n_inner steps; per-step snapshots/sub-losses come back from
+            # the scan, so planning needs a single device round-trip per
+            # outer iteration instead of one per inner step — crucial when
+            # the TPU is reached through a high-latency tunnel)
+            xx, opt_state, seg_out = engine.plan_segment(
+                params_dynamic, models_static, xx, opt_state,
+                target_mel_dev, target_semvec_dev, self._next_rng(),
+                n_steps=n_inner, objective=objective,
+                use_speech_classifier=self.use_speech_classifier,
+                use_somatosensory=self.use_somatosensory_feedback,
+                log_semantics=log_semantics, constraints=constraints,
+                lr=learning_rate_planning, log_every=log_ii)
 
-                subs = seg_out["sub_losses"]
-                last = -1
-                logs["planned_loss_steps"].append(float(subs.total[last]))
-                logs["planned_mel_loss_steps"].append(float(subs.mel_loss[last]))
-                logs["vel_loss_steps"].append(float(subs.velocity_loss[last]))
-                logs["jerk_loss_steps"].append(float(subs.jerk_loss[last]))
-                if objective in ("semvec", "acoustic_semvec") or log_semantics:
+            # logged steps: the last step of each log_ii-segment; remainder
+            # steps (n_inner % log_ii) run but are never logged, like the
+            # reference (slicing happened inside the compiled program)
+            want_semvec = (objective in ("semvec", "acoustic_semvec")
+                           or log_semantics)
+            snaps_dev = seg_out["xx_pre"][:, 0]  # (L, T, 30)
+            fetch = {
+                "subs": seg_out["sub_losses"],
+                "xx_pre": snaps_dev,
+                "pred_mel": seg_out["pred_mel"][:, 0],
+            }
+            if want_semvec:
+                fetch["pred_semvec"] = seg_out["pred_semvec"][:, 0]
+            if log_gradients:
+                fetch["grads"] = seg_out["grads"]
+            host = jax.device_get(fetch)  # single transfer for all steps
+            subs = host["subs"]
+            snapshots = np.asarray(host["xx_pre"], dtype=np.float64)
+            pred_mels = np.asarray(host["pred_mel"], dtype=np.float64)
+
+            for s in range(n_segments):
+                logs["planned_loss_steps"].append(float(subs.total[s]))
+                logs["planned_mel_loss_steps"].append(float(subs.mel_loss[s]))
+                logs["vel_loss_steps"].append(float(subs.velocity_loss[s]))
+                logs["jerk_loss_steps"].append(float(subs.jerk_loss[s]))
+                if want_semvec:
                     logs["pred_semvec_loss_steps"].append(
-                        float(subs.semvec_loss[last]))
+                        float(subs.semvec_loss[s]))
                     seg_logs_ii["pred_semvec"].append(
-                        _to_np(seg_out["pred_semvec"][last][0]))
+                        np.asarray(host["pred_semvec"][s], dtype=np.float64))
                 if self.use_speech_classifier:
                     logs["pred_speech_classifier_loss_steps"].append(
-                        float(subs.speech_classifier_loss[last]))
+                        float(subs.speech_classifier_loss[s]))
                 if self.use_somatosensory_feedback:
                     logs["pred_tube_mel_loss_steps"].append(
-                        float(subs.tube_mel_loss[last]))
+                        float(subs.tube_mel_loss[s]))
                     logs["pred_tube_semvec_loss_steps"].append(
-                        float(subs.tube_semvec_loss[last]))
+                        float(subs.tube_semvec_loss[s]))
                 if log_gradients:
                     logs["grad_steps"].append(
-                        _to_np(seg_out["grads"][last]))
+                        np.asarray(host["grads"][s], dtype=np.float64))
+                seg_logs_ii["cp"].append(snapshots[s])
+                seg_logs_ii["pred_mel"].append(pred_mels[s])
                 if verbose:
-                    ii = ii_outer * n_inner + seg * log_ii + k - 1
-                    print(f"Iteration {ii % n_inner}")
-                    print("Planned Loss: ", float(subs.total[last]))
-                    print("Mel Loss: ", float(subs.mel_loss[last]))
-                    print("Vel Loss: ", float(subs.velocity_loss[last]))
-                    print("Jerk Loss: ", float(subs.jerk_loss[last]))
+                    print(f"Iteration {s * log_ii + log_ii - 1}")
+                    print("Planned Loss: ", float(subs.total[s]))
+                    print("Mel Loss: ", float(subs.mel_loss[s]))
+                    print("Vel Loss: ", float(subs.velocity_loss[s]))
+                    print("Jerk Loss: ", float(subs.jerk_loss[s]))
                     print("Local Linear Loss: ",
-                          float(subs.local_linear_loss[last]))
+                          float(subs.local_linear_loss[s]))
 
-                # snapshot = trajectory before the last update of the segment
-                snapshot = _to_np(seg_out["xx_pre"][last][0])
-                seg_logs_ii["cp"].append(snapshot)
+            # ---- host synthesis of all logged snapshots (parallel) ----
+            if self.synthesis_async:
+                jobs = [self._executor.submit(self._synthesize, snapshots[s])
+                        for s in range(n_segments)]
+                syntheses = [j.result() for j in jobs]
+            else:
+                syntheses = [self._synthesize(snapshots[s])
+                             for s in range(n_segments)]
+            sigs = np.stack([s_[0] for s_ in syntheses])
+            sr = syntheses[-1][1]
+            sig = sigs[-1]
+            prod_tubes = None
+            if self.use_somatosensory_feedback:
+                prod_tubes = np.stack([s_[2] for s_ in syntheses])
+            if log_signals:
+                logs["sig_steps"].extend(list(sigs))
 
-                if self.synthesis_async:
-                    pending.append(self._executor.submit(
-                        self._synthesize, snapshot))
-                else:
-                    pending.append(snapshot)
+            # ---- produced-audio metrics: one batched program + one fetch --
+            pm = self._prod_metrics(sigs, snaps_dev, prod_tubes,
+                                    target_mel_dev, target_semvec_dev,
+                                    want_semvec)
+            prod_mels_np = np.asarray(pm["prod_mel"], dtype=np.float64)
+            prod_mel = prod_mels_np[-1]
+            pred_mel_last = pred_mels[-1]
+            seg_logs_ii["prod_mel"].extend(list(prod_mels_np))
+            if self.use_somatosensory_feedback:
+                seg_logs_ii["prod_tube"].extend(list(prod_tubes))
+                seg_logs_ii["pred_tube"].extend(
+                    list(np.asarray(pm["pred_tube"], dtype=np.float64)))
+                seg_logs_ii["prod_tube_mel"].extend(
+                    list(np.asarray(pm["prod_tube_mel"], dtype=np.float64)))
+                seg_logs_ii["pred_tube_mel"].extend(
+                    list(np.asarray(pm["pred_tube_mel"], dtype=np.float64)))
 
-            # drain synthesis jobs for this outer iteration
-            for job in pending:
-                if self.synthesis_async:
-                    sig, sr, prod_tube = job.result()
-                else:
-                    sig, sr, prod_tube = self._synthesize(job)
-                snapshot = seg_logs_ii["cp"][len(seg_logs_ii["prod_mel"])]
-                if log_signals:
-                    logs["sig_steps"].append(sig)
-                prod_mel = self._prod_mel_of(sig, sr)
-                seg_logs_ii["prod_mel"].append(prod_mel.copy())
-
-                prod_mel_dev = jnp.asarray(prod_mel[None], dtype=self.dtype)
-                prod_loss = MEL_WEIGHT * float(
-                    L.rmse(prod_mel_dev, target_mel_dev))
+            for s in range(n_segments):
+                snapshot = snapshots[s]
+                prod_loss = float(pm["prod_loss"][s])
                 logs["prod_loss_steps"].append(prod_loss)
 
-                pred_mel_dev = self.pred_model.apply(
-                    self.pred_trainer.params,
-                    jnp.asarray(snapshot[None], dtype=self.dtype))
-                pred_mel_last = _to_np(pred_mel_dev[0])
-                seg_logs_ii["pred_mel"].append(pred_mel_last)
-
                 if self.use_speech_classifier:
-                    logits = self.speech_classifier.apply(
-                        self.speech_classifier_params, prod_mel_dev)
-                    sc_loss = SPEECH_CLASSIFIER_WEIGHT * float(
-                        L.bce_with_logits(logits, jnp.zeros_like(logits)))
+                    sc_loss = float(pm["prod_sc_loss"][s])
                     logs["prod_speech_classifier_loss_steps"].append(sc_loss)
                     if verbose:
                         print("Produced Speech Classifier Loss: ", sc_loss)
 
                 tube_metrics = {}
                 if self.use_somatosensory_feedback:
-                    prod_tube_dev = jnp.asarray(prod_tube[None],
-                                                dtype=self.dtype)
-                    pred_tube_dev = self.cp_tube_model.apply(
-                        self.tube_trainer.params,
-                        jnp.asarray(snapshot[None], dtype=self.dtype))
-                    prod_tube_mel_dev = self.tube_mel_model.apply(
-                        self.tube_mel_trainer.params, prod_tube_dev)
-                    pred_tube_mel_dev = self.tube_mel_model.apply(
-                        self.tube_mel_trainer.params, pred_tube_dev)
-                    prod_tube_loss = float(L.rmse(pred_tube_dev, prod_tube_dev))
-                    prod_tube_mel_loss = TUBE_MEL_WEIGHT * float(
-                        L.rmse(prod_tube_mel_dev, target_mel_dev))
+                    prod_tube_loss = float(pm["prod_tube_loss"][s])
+                    prod_tube_mel_loss = float(pm["prod_tube_mel_loss"][s])
                     logs["prod_tube_loss_steps"].append(prod_tube_loss)
                     logs["prod_tube_mel_loss_steps"].append(prod_tube_mel_loss)
-                    seg_logs_ii["prod_tube"].append(prod_tube.copy())
-                    seg_logs_ii["pred_tube"].append(_to_np(pred_tube_dev[0]))
-                    seg_logs_ii["prod_tube_mel"].append(
-                        _to_np(prod_tube_mel_dev[0]))
-                    seg_logs_ii["pred_tube_mel"].append(
-                        _to_np(pred_tube_mel_dev[0]))
                     tube_metrics = {
-                        "prod_tube": prod_tube,
-                        "pred_tube": _to_np(pred_tube_dev[0]),
-                        "prod_tube_mel": _to_np(prod_tube_mel_dev[0]),
-                        "pred_tube_mel": _to_np(pred_tube_mel_dev[0]),
+                        "prod_tube": prod_tubes[s],
+                        "pred_tube": np.asarray(pm["pred_tube"][s],
+                                                dtype=np.float64),
+                        "prod_tube_mel": np.asarray(pm["prod_tube_mel"][s],
+                                                    dtype=np.float64),
+                        "pred_tube_mel": np.asarray(pm["pred_tube_mel"][s],
+                                                    dtype=np.float64),
                         "prod_tube_loss": prod_tube_loss,
                         "prod_tube_mel_loss": prod_tube_mel_loss,
                     }
@@ -671,24 +793,23 @@ class Paule:
                 if verbose:
                     print("Produced Mel Loss: ", prod_loss)
 
-                if objective in ("semvec", "acoustic_semvec") or log_semantics:
-                    prod_semvec = _to_np(self._embed(prod_mel_dev)[0])
+                if want_semvec:
+                    prod_semvec = np.asarray(pm["prod_semvec"][s],
+                                             dtype=np.float64)
                     seg_logs_ii["prod_semvec"].append(prod_semvec.copy())
-                    prod_semvec_loss = SEMANTIC_WEIGHT * float(L.rmse(
-                        jnp.asarray(prod_semvec.reshape(1, -1),
-                                    dtype=self.dtype), target_semvec_dev))
+                    prod_semvec_loss = float(pm["prod_semvec_loss"][s])
                     logs["prod_semvec_loss_steps"].append(prod_semvec_loss)
                     if verbose:
                         print("Produced Semvec Loss: ", prod_semvec_loss)
 
-                    pred_semvec_np = (seg_logs_ii["pred_semvec"][-1]
+                    pred_semvec_np = (seg_logs_ii["pred_semvec"][s]
                                       if seg_logs_ii["pred_semvec"]
                                       else initial_pred_semvec)
                     new_ac = BestSynthesisAcoustic(
-                        prod_loss, snapshot, sig, prod_mel.copy(),
-                        pred_mel_last.copy())
+                        prod_loss, snapshot, sigs[s], prod_mels_np[s].copy(),
+                        pred_mels[s].copy())
                     new_sem = BestSynthesisSemantic(
-                        prod_semvec_loss, snapshot, sig, prod_semvec,
+                        prod_semvec_loss, snapshot, sigs[s], prod_semvec,
                         pred_semvec_np)
                     if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
                         self.best_synthesis_acoustic = new_ac
@@ -697,21 +818,18 @@ class Paule:
                         self.best_synthesis_semantic = new_sem
 
                     if self.use_somatosensory_feedback:
-                        prod_tube_semvec = _to_np(self._tube_embed(
-                            jnp.asarray(tube_metrics["prod_tube"][None],
-                                        dtype=self.dtype))[0])
+                        prod_tube_semvec = np.asarray(
+                            pm["prod_tube_semvec"][s], dtype=np.float64)
                         seg_logs_ii["prod_tube_semvec"].append(
                             prod_tube_semvec.copy())
-                        prod_tube_semvec_loss = TUBE_SEMANTIC_WEIGHT * float(
-                            L.rmse(jnp.asarray(
-                                prod_tube_semvec.reshape(1, -1),
-                                dtype=self.dtype), target_semvec_dev))
+                        prod_tube_semvec_loss = float(
+                            pm["prod_tube_semvec_loss"][s])
                         logs["prod_tube_semvec_loss_steps"].append(
                             prod_tube_semvec_loss)
                         new_som = BestSynthesisSomatosensory(
                             tube_metrics["prod_tube_loss"],
                             tube_metrics["prod_tube_mel_loss"],
-                            prod_tube_semvec_loss, snapshot, sig,
+                            prod_tube_semvec_loss, snapshot, sigs[s],
                             tube_metrics["prod_tube"],
                             tube_metrics["pred_tube"],
                             tube_metrics["prod_tube_mel"],
@@ -722,15 +840,15 @@ class Paule:
                             self.best_synthesis_somatosensory = new_som
                 else:
                     new_ac = BestSynthesisAcoustic(
-                        prod_loss, snapshot, sig, prod_mel.copy(),
-                        pred_mel_last.copy())
+                        prod_loss, snapshot, sigs[s], prod_mels_np[s].copy(),
+                        pred_mels[s].copy())
                     if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
                         self.best_synthesis_acoustic = new_ac
                     if self.use_somatosensory_feedback:
                         new_som = BestSynthesisSomatosensory(
                             tube_metrics["prod_tube_loss"],
                             tube_metrics["prod_tube_mel_loss"], np.inf,
-                            snapshot, sig, tube_metrics["prod_tube"],
+                            snapshot, sigs[s], tube_metrics["prod_tube"],
                             tube_metrics["pred_tube"],
                             tube_metrics["prod_tube_mel"],
                             tube_metrics["pred_tube_mel"], None, None)
@@ -783,7 +901,7 @@ class Paule:
         prod_sig = sig
         prod_sr = sr
 
-        pred_mel_dev = self.pred_model.apply(self.pred_trainer.params, xx)
+        pred_mel_dev = self._j_pred(self.pred_trainer.params, xx)
         pred_semvec_dev = self._embed(pred_mel_dev)
         prod_mel_dev = jnp.asarray(prod_mel[None], dtype=self.dtype)
         prod_semvec_dev = self._embed(prod_mel_dev)
@@ -796,14 +914,14 @@ class Paule:
 
         somato_final = {}
         if self.use_somatosensory_feedback:
-            pred_tube_dev = self.cp_tube_model.apply(self.tube_trainer.params, xx)
+            pred_tube_dev = self._j_cp_tube(self.tube_trainer.params, xx)
             prod_tube_last = (seg_logs_ii["prod_tube"][-1]
                               if seg_logs_ii["prod_tube"]
                               else somato_init["initial_prod_tube"])
             prod_tube_dev = jnp.asarray(prod_tube_last[None], dtype=self.dtype)
-            prod_tube_mel_dev = self.tube_mel_model.apply(
+            prod_tube_mel_dev = self._j_tube_mel(
                 self.tube_mel_trainer.params, prod_tube_dev)
-            pred_tube_mel_dev = self.tube_mel_model.apply(
+            pred_tube_mel_dev = self._j_tube_mel(
                 self.tube_mel_trainer.params, pred_tube_dev)
             prod_tube_semvec_dev = self._tube_embed(prod_tube_dev)
             pred_tube_semvec_dev = self._tube_embed(pred_tube_dev)

@@ -164,4 +164,4 @@ def librosa_melspec(wav, sample_rate):
     if sample_rate != SR:
         wav = _resample(wav, sample_rate, SR)
     mel = melspec_44100(jnp.asarray(wav), dtype=DTYPE)
-    return np.asarray(mel, dtype=np.float64)
+    return np.asarray(jax.device_get(mel), dtype=np.float64)

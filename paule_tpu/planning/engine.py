@@ -175,17 +175,22 @@ def apply_constraints(xx, xx_init, cons: Constraints):
     jax.jit,
     static_argnames=("models_static", "n_steps", "objective",
                      "use_speech_classifier", "use_somatosensory",
-                     "log_semantics", "constraints", "lr"))
+                     "log_semantics", "constraints", "lr", "log_every"))
 def plan_segment(params_dynamic, models_static, xx, opt_state, target_mel,
                  target_semvec, rng, *, n_steps, objective,
                  use_speech_classifier, use_somatosensory, log_semantics,
-                 constraints, lr):
+                 constraints, lr, log_every=None):
     """Run ``n_steps`` planning updates as one compiled scan.
 
     Returns ``(xx, opt_state, logs)`` where ``logs`` holds per-step
     ``SubLosses`` plus the pre-update trajectory snapshots ``xx_pre``
     (snapshot semantics match the reference: the trajectory synthesized at a
     logging step excludes that step's update).
+
+    With ``log_every=k`` the per-step log arrays are sliced *inside* the
+    compiled program to the logged cadence (last step of each k-segment,
+    i.e. step indices k-1, 2k-1, ...; trailing remainder steps unlogged) —
+    avoiding host-side gather dispatches on the hot path.
     """
     models = models_static._replace(**params_dynamic)
     opt = optax.adam(lr)
@@ -201,18 +206,22 @@ def plan_segment(params_dynamic, models_static, xx, opt_state, target_mel,
 
     def step(carry, step_rng):
         x, state = carry
-        (_, (subs, _pm, pred_semvec, _pt)), grads = jax.value_and_grad(
+        (_, (subs, pred_mel, pred_semvec, _pt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(x, step_rng)
         updates, state = opt.update(grads, state)
         x_new = apply_constraints(optax.apply_updates(x, updates), xx_init,
                                   constraints)
-        return (x_new, state), (subs, x, pred_semvec, grads)
+        return (x_new, state), (subs, x, pred_mel, pred_semvec, grads)
 
     rngs = jax.random.split(rng, n_steps)
-    (xx_out, opt_state), (subs, xx_pre, pred_semvecs, grads) = jax.lax.scan(
-        step, (xx, opt_state), rngs)
-    logs = {"sub_losses": subs, "xx_pre": xx_pre,
+    (xx_out, opt_state), (subs, xx_pre, pred_mels, pred_semvecs, grads) = \
+        jax.lax.scan(step, (xx, opt_state), rngs)
+    logs = {"sub_losses": subs, "xx_pre": xx_pre, "pred_mel": pred_mels,
             "pred_semvec": pred_semvecs, "grads": grads}
+    if log_every is not None:
+        n_logged = n_steps // log_every
+        idx = jnp.arange(n_logged) * log_every + (log_every - 1)
+        logs = jax.tree.map(lambda a: a[idx], logs)
     return xx_out, opt_state, logs
 
 

@@ -119,10 +119,12 @@ class ModelTrainer:
         return train_step
 
     def train_batch(self, batch_in, batch_out):
+        """Run one train step; returns the loss as a *device* scalar so
+        callers can defer the host sync (see :func:`train_epochs`)."""
         self.params, self.opt_state, loss = self._step(
             self.params, self.opt_state, jnp.asarray(batch_in),
             jnp.asarray(batch_out))
-        return float(loss)
+        return loss
 
 
 def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
@@ -134,7 +136,7 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
     tgts = list(tgts)
     lens_in = np.asarray(lens_in)
     length_dict = build_length_dict(lens_in)
-    epoch_losses = []
+    device_losses = []  # per-epoch lists of device scalars; fetched once
     for _ in range(n_epochs):
         batches = create_epoch_batches(
             len(inps), batch_size, shuffle=True, same_size_batching=True,
@@ -147,8 +149,10 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
             b_out = pad_batch([len(s) for s in b_out_seqs], b_out_seqs,
                               dtype=dtype)
             losses.append(trainer.train_batch(b_in, b_out))
-        epoch_losses.append(float(np.mean(losses)))
-    return epoch_losses
+        device_losses.append(losses)
+    import jax
+    host_losses = jax.device_get(device_losses)  # one transfer for all epochs
+    return [float(np.mean(ls)) for ls in host_losses]
 
 
 class ReplayBuffer:

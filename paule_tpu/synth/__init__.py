@@ -508,6 +508,17 @@ class SynthPool:
             self._handles.append(h)
             self._free.append(h)
 
+    def _acquire(self):
+        with self._cond:
+            while not self._free:
+                self._cond.wait()
+            return self._free.pop()
+
+    def _release(self, h):
+        with self._cond:
+            self._free.append(h)
+            self._cond.notify()
+
     def speak(self, cp_param):
         cp = _check_cp(cp_param)
         n_frames = cp.shape[0]
@@ -515,10 +526,7 @@ class SynthPool:
         tract = np.ascontiguousarray(cp[:, :N_TRACT])
         glottis = np.ascontiguousarray(cp[:, N_TRACT:])
         dptr = ctypes.POINTER(ctypes.c_double)
-        with self._cond:
-            while not self._free:
-                self._cond.wait()
-            h = self._free.pop()
+        h = self._acquire()
         try:
             failure = self._lib.pts_synth_block_h(
                 ctypes.c_void_p(h),
@@ -527,10 +535,69 @@ class SynthPool:
             if failure != 0:
                 raise ValueError(f"pts_synth_block_h failed: {failure}")
         finally:
-            with self._cond:
-                self._free.append(h)
-                self._cond.notify()
+            self._release(h)
         return audio, SAMPLE_RATE
+
+    def speak_and_extract_tube_information(self, cp_param):
+        """Handle-based, concurrency-safe variant of the module-level
+        :func:`speak_and_extract_tube_information`."""
+        cp = _check_cp(cp_param)
+        n_frames = cp.shape[0]
+        tract = np.ascontiguousarray(cp[:, :N_TRACT])
+        glottis = np.ascontiguousarray(cp[:, N_TRACT:])
+        audio = np.zeros(max(0, (n_frames - 1)) * FRAME_STEPS,
+                         dtype=np.float64)
+        tube_length = np.zeros((n_frames, N_TUBE_SECTIONS))
+        tube_area = np.zeros((n_frames, N_TUBE_SECTIONS))
+        tube_articulator_idx = np.zeros((n_frames, N_TUBE_SECTIONS),
+                                        dtype=np.int32)
+        incisor = np.zeros(n_frames)
+        tongue_tip = np.zeros(n_frames)
+        velum = np.zeros(n_frames)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        iptr = ctypes.POINTER(ctypes.c_int)
+        h = self._acquire()
+        try:
+            hc = ctypes.c_void_p(h)
+            failure = self._lib.pts_reset_h(hc)
+            if failure != 0:
+                raise ValueError(f"pts_reset_h failed: {failure}")
+            for i in range(n_frames):
+                n_samples = 0 if i == 0 else FRAME_STEPS
+                audio_view = (audio[(i - 1) * FRAME_STEPS : i * FRAME_STEPS]
+                              if i > 0 else np.zeros(1))
+                failure = self._lib.pts_add_tract_h(
+                    hc, n_samples, audio_view.ctypes.data_as(dptr),
+                    tract[i].ctypes.data_as(dptr),
+                    glottis[i].ctypes.data_as(dptr))
+                if failure != 0:
+                    raise ValueError(f"pts_add_tract_h failed: {failure}")
+                inc = ctypes.c_double(0)
+                tt = ctypes.c_double(0)
+                vel = ctypes.c_double(0)
+                failure = self._lib.pts_tract_to_tube_h(
+                    hc, tract[i].ctypes.data_as(dptr),
+                    tube_length[i].ctypes.data_as(dptr),
+                    tube_area[i].ctypes.data_as(dptr),
+                    tube_articulator_idx[i].ctypes.data_as(iptr),
+                    ctypes.byref(inc), ctypes.byref(tt), ctypes.byref(vel))
+                if failure != 0:
+                    raise ValueError(f"pts_tract_to_tube_h failed: {failure}")
+                incisor[i] = inc.value
+                tongue_tip[i] = tt.value
+                velum[i] = vel.value
+        finally:
+            self._release(h)
+        arti = np.vectorize(ARTICULATOR.get)(tube_articulator_idx)
+        tube_info = {
+            "tube_length_cm": tube_length,
+            "tube_area_cm2": tube_area,
+            "tube_articulator": arti,
+            "incisor_pos_cm": incisor,
+            "tongue_tip_side_elevation": tongue_tip,
+            "velum_opening_cm2": velum,
+        }
+        return audio, SAMPLE_RATE, tube_info
 
     def close(self):
         with self._lock:
