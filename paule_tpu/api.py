@@ -588,6 +588,9 @@ class Paule:
         init_syn = self._synthesize(xx_new_numpy)
         initial_sig, initial_sr, initial_prod_tube = init_syn
 
+        # stage all Phase C device values, then fetch them in ONE transfer
+        init_fetch = {"pred_mel": initial_pred_mel_dev[0],
+                      "pred_semvec": initial_pred_semvec_dev[0]}
         somato_init = {}
         if self.use_somatosensory_feedback:
             initial_pred_tube = self._j_cp_tube(self.tube_trainer.params, xx)
@@ -599,14 +602,12 @@ class Paule:
             initial_prod_tube_mel = self._j_tube_mel(
                 self.tube_mel_trainer.params, prod_tube_dev)
             initial_prod_tube_semvec = self._tube_embed(prod_tube_dev)
-            somato_init = {
-                "initial_prod_tube": initial_prod_tube,
-                "initial_pred_tube": _to_np(initial_pred_tube[0]),
-                "initial_prod_tube_mel": _to_np(initial_prod_tube_mel[0]),
-                "initial_pred_tube_mel": _to_np(initial_pred_tube_mel[0]),
-                "initial_prod_tube_semvec": _to_np(initial_prod_tube_semvec[0]),
-                "initial_pred_tube_semvec": _to_np(initial_pred_tube_semvec[0]),
-            }
+            init_fetch.update(
+                pred_tube=initial_pred_tube[0],
+                prod_tube_mel=initial_prod_tube_mel[0],
+                pred_tube_mel=initial_pred_tube_mel[0],
+                prod_tube_semvec=initial_prod_tube_semvec[0],
+                pred_tube_semvec=initial_pred_tube_semvec[0])
 
         initial_prod_mel = self._prod_mel_of(initial_sig, initial_sr)
 
@@ -617,11 +618,22 @@ class Paule:
                 axis=1)
             target_mel_dev = jnp.asarray(target_mel, dtype=self.dtype)
 
-        initial_prod_semvec = _to_np(
-            self._embed(jnp.asarray(initial_prod_mel[None],
-                                    dtype=self.dtype))[0])
-        initial_pred_mel = _to_np(initial_pred_mel_dev[0])
-        initial_pred_semvec = _to_np(initial_pred_semvec_dev[0])
+        init_fetch["prod_semvec"] = self._embed(
+            jnp.asarray(initial_prod_mel[None], dtype=self.dtype))[0]
+        init_host = {k: np.asarray(v, dtype=np.float64)
+                     for k, v in jax.device_get(init_fetch).items()}
+        if self.use_somatosensory_feedback:
+            somato_init = {
+                "initial_prod_tube": initial_prod_tube,
+                "initial_pred_tube": init_host["pred_tube"],
+                "initial_prod_tube_mel": init_host["prod_tube_mel"],
+                "initial_pred_tube_mel": init_host["pred_tube_mel"],
+                "initial_prod_tube_semvec": init_host["prod_tube_semvec"],
+                "initial_pred_tube_semvec": init_host["pred_tube_semvec"],
+            }
+        initial_prod_semvec = init_host["prod_semvec"]
+        initial_pred_mel = init_host["pred_mel"]
+        initial_pred_semvec = init_host["pred_semvec"]
 
         self.best_synthesis_acoustic = BestSynthesisAcoustic(
             np.inf, initial_cp, initial_sig, initial_prod_mel,
@@ -906,13 +918,9 @@ class Paule:
         prod_mel_dev = jnp.asarray(prod_mel[None], dtype=self.dtype)
         prod_semvec_dev = self._embed(prod_mel_dev)
 
-        target_mel_out = target_mel[0]
-        prod_mel_out = _to_np(prod_mel)
-        pred_mel_out = _to_np(pred_mel_dev[0])
-        prod_semvec_out = _to_np(prod_semvec_dev[0])
-        pred_semvec_out = _to_np(pred_semvec_dev[0])
-
-        somato_final = {}
+        final_fetch = {"pred_mel": pred_mel_dev[0],
+                       "prod_semvec": prod_semvec_dev[0],
+                       "pred_semvec": pred_semvec_dev[0]}
         if self.use_somatosensory_feedback:
             pred_tube_dev = self._j_cp_tube(self.tube_trainer.params, xx)
             prod_tube_last = (seg_logs_ii["prod_tube"][-1]
@@ -923,15 +931,30 @@ class Paule:
                 self.tube_mel_trainer.params, prod_tube_dev)
             pred_tube_mel_dev = self._j_tube_mel(
                 self.tube_mel_trainer.params, pred_tube_dev)
-            prod_tube_semvec_dev = self._tube_embed(prod_tube_dev)
-            pred_tube_semvec_dev = self._tube_embed(pred_tube_dev)
+            final_fetch.update(
+                pred_tube=pred_tube_dev[0],
+                prod_tube_mel=prod_tube_mel_dev[0],
+                pred_tube_mel=pred_tube_mel_dev[0],
+                prod_tube_semvec=self._tube_embed(prod_tube_dev)[0],
+                pred_tube_semvec=self._tube_embed(pred_tube_dev)[0])
+        final_host = {k: np.asarray(v, dtype=np.float64)
+                      for k, v in jax.device_get(final_fetch).items()}
+
+        target_mel_out = target_mel[0]
+        prod_mel_out = _to_np(prod_mel)
+        pred_mel_out = final_host["pred_mel"]
+        prod_semvec_out = final_host["prod_semvec"]
+        pred_semvec_out = final_host["pred_semvec"]
+
+        somato_final = {}
+        if self.use_somatosensory_feedback:
             somato_final = {
                 "prod_tube": prod_tube_last,
-                "pred_tube": _to_np(pred_tube_dev[0]),
-                "prod_tube_mel": _to_np(prod_tube_mel_dev[0]),
-                "pred_tube_mel": _to_np(pred_tube_mel_dev[0]),
-                "prod_tube_semvec": _to_np(prod_tube_semvec_dev[0]),
-                "pred_tube_semvec": _to_np(pred_tube_semvec_dev[0]),
+                "pred_tube": final_host["pred_tube"],
+                "prod_tube_mel": final_host["prod_tube_mel"],
+                "pred_tube_mel": final_host["pred_tube_mel"],
+                "prod_tube_semvec": final_host["prod_tube_semvec"],
+                "pred_tube_semvec": final_host["pred_tube_semvec"],
             }
 
         print("--- %.2f min ---" % ((time.time() - start_time) / 60))

@@ -20,6 +20,20 @@ _X64 = os.environ.get("PAULE_TPU_X64", "0") == "1"
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: planning programs (25-step scans over
+# LSTMs) take tens of seconds to compile; caching them on disk makes every
+# process after the first start hot.  Opt out with PAULE_TPU_NO_CACHE=1.
+if os.environ.get("PAULE_TPU_NO_CACHE", "0") != "1":
+    _cache_dir = os.environ.get(
+        "PAULE_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "paule_tpu_xla"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 #: dtype used for on-device compute (models, planning, DSP).
 DTYPE = jnp.float64 if _X64 else jnp.float32
 
