@@ -299,6 +299,25 @@ class Paule:
         self._jax_rng, sub = jax.random.split(self._jax_rng)
         return sub
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume (reference persists state at the example level,
+    # /root/reference/docs/examples/minimal_example.py:51-56)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path):
+        """Write all model params, optimizer states, the planning RNG and
+        the replay buffer to one checkpoint file."""
+        from . import checkpoint as CK
+
+        CK.save_pytree(path, CK.paule_state(self))
+
+    def load_state(self, path):
+        """Restore a checkpoint written by :meth:`save_state`."""
+        from . import checkpoint as CK
+
+        CK.restore_paule_state(self, CK.load_pytree(path))
+        return self
+
     def _make_prod_metrics(self):
         """Build the jitted batched produced-audio metrics program: all
         logged synthesis snapshots of one outer iteration are featurized,

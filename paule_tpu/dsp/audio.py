@@ -31,12 +31,15 @@ def read(path):
 
 
 def write(path, sig, samplerate):
-    """Write a float signal to a 16-bit PCM WAV (FLAC via ffmpeg if asked)."""
+    """Write a float signal to a 16-bit PCM WAV (FLAC via ffmpeg if asked).
+
+    Returns the path actually written: without an ffmpeg encoder a non-WAV
+    request falls back to the same name with a ``.wav`` extension."""
     ext = os.path.splitext(path)[1].lower()
     sig = np.asarray(sig, dtype=np.float64)
     if ext == ".wav":
         _write_wav(path, sig, samplerate)
-        return
+        return path
     if shutil.which("ffmpeg"):
         tmp = path + ".tmp.wav"
         _write_wav(tmp, sig, samplerate)
@@ -48,9 +51,11 @@ def write(path, sig, samplerate):
             )
         finally:
             os.unlink(tmp)
-        return
-    # no encoder available: fall back to WAV next to the requested name
-    _write_wav(path + ".wav", sig, samplerate)
+        return path
+    # no encoder available: fall back to WAV under the same stem
+    fallback = os.path.splitext(path)[0] + ".wav"
+    _write_wav(fallback, sig, samplerate)
+    return fallback
 
 
 def stereo_to_mono(wave_data, which="both"):

@@ -1,0 +1,175 @@
+"""Corpus planning experiments — the reference's ``gradient_planning.ipynb``
+workflow (/root/reference/paule/gradient_planning.ipynb cells 0-39) as a
+first-class, resume-safe API:
+
+* discover target recordings (flac/wav) under a directory, skipping
+  utterances that already have results;
+* optionally seed the continue-learning replay buffer from a validation
+  DataFrame pickle (columns ``vector``, ``cp_norm``,
+  ``melspec_norm_synthesized``; flagged ``segment_data=True``);
+* plan every utterance with :meth:`paule_tpu.api.Paule.plan_resynth`,
+  saving per-utterance pickled results, planned/best audio and a model
+  checkpoint as it goes;
+* aggregate final per-utterance losses to ``results_loss.txt`` and a
+  ``final_results.pkl`` DataFrame.
+
+The planning of *independent* utterances is also the natural data-parallel
+axis on TPU — see :mod:`paule_tpu.parallel.batched` for planning a batch of
+same-length utterances sharded over a device mesh.
+"""
+
+import os
+import pickle
+import random
+
+import numpy as np
+
+
+AUDIO_EXTS = (".flac", ".wav")
+
+
+def discover_targets(data_dir, *, save_dir=None, shuffle=True, seed=23082022):
+    """List audio files under ``data_dir`` (one subdirectory per label, like
+    the reference's corpus layout), omitting files whose results already
+    exist under ``save_dir`` — so an interrupted run resumes where it
+    stopped."""
+    files = []
+    for root, _dirs, names in os.walk(data_dir):
+        for name in sorted(names):
+            if name.endswith(AUDIO_EXTS) and not name.startswith("._"):
+                files.append(os.path.join(root, name))
+    if shuffle:
+        random.Random(seed).shuffle(files)
+    if save_dir and os.path.isdir(save_dir):
+        done = set()
+        for root, _dirs, names in os.walk(save_dir):
+            for name in names:
+                if name.endswith("_results.pkl"):
+                    done.add(name[: -len("_results.pkl")])
+        files = [f for f in files
+                 if os.path.splitext(os.path.basename(f))[0] not in done]
+    return files
+
+
+def load_continue_data(valid_pickle, *, n_samples=12, seed=23082022):
+    """Subsample a validation DataFrame pickle into a replay buffer seed
+    (reference notebook cells 4-8)."""
+    import pandas as pd
+
+    valid = pd.read_pickle(valid_pickle)
+    rng = random.Random(seed)
+    idx = rng.sample(range(len(valid)), min(n_samples, len(valid)))
+    cols = [c for c in ("vector", "cp_norm", "melspec_norm_synthesized",
+                        "tube_norm") if c in valid.columns]
+    data = valid.iloc[idx][cols].copy().reset_index(drop=True)
+    data["segment_data"] = True
+    return data
+
+
+def label_of(path):
+    """Label convention of the reference corpus: ``<name>_<label>.flac``."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return stem.split("_")[-1]
+
+
+def plan_corpus(paule_model, files, save_dir, *, semvec_lookup=None,
+                checkpoint_every=10, write_audio=True, plan_kwargs=None,
+                verbose=True):
+    """Plan every utterance in ``files``, saving results incrementally.
+
+    ``semvec_lookup``: optional ``label -> (300,) vector`` mapping (e.g.
+    built from the reference's ``lexical_embedding_vectors.pkl``); without
+    it the target semvec is inferred from the target audio by the embedder,
+    like ``plan_resynth`` does by default.
+
+    Returns the list of per-utterance result-file paths.
+    """
+    from .dsp import audio as audio_io
+
+    plan_kwargs = dict(plan_kwargs or {})
+    plan_kwargs.setdefault("objective", "acoustic_semvec")
+    plan_kwargs.setdefault("initialize_from", "acoustic")
+    plan_kwargs.setdefault("verbose", False)
+
+    os.makedirs(save_dir, exist_ok=True)
+    result_files = []
+    for i, path in enumerate(files):
+        label = label_of(path)
+        out_dir = os.path.join(save_dir, label)
+        os.makedirs(out_dir, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        prefix = os.path.join(out_dir, stem)
+
+        kwargs = dict(plan_kwargs)
+        if semvec_lookup is not None:
+            vec = semvec_lookup(label) if callable(semvec_lookup) \
+                else semvec_lookup.get(label)
+            if vec is not None:
+                kwargs["target_semvec"] = np.asarray(vec)
+
+        if verbose:
+            print(f"[{i + 1}/{len(files)}] planning {path}")
+        results = paule_model.plan_resynth(target_acoustic=path, **kwargs)
+
+        with open(prefix + "_results.pkl", "wb") as fh:
+            pickle.dump(results, fh, protocol=4)
+        result_files.append(prefix + "_results.pkl")
+        if write_audio:
+            audio_io.write(prefix + "_planned.flac", results.prod_sig,
+                           results.prod_sr)
+            best = paule_model.best_synthesis_acoustic
+            if best is not None and best.prod_sig is not None:
+                audio_io.write(prefix + "_best_planned.flac", best.prod_sig,
+                               results.prod_sr)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            paule_model.save_state(os.path.join(save_dir, "checkpoint.pkl"))
+
+    if checkpoint_every:
+        paule_model.save_state(os.path.join(save_dir, "checkpoint.pkl"))
+    return result_files
+
+
+def collect_results(save_dir, *, out_txt="results_loss.txt",
+                    out_pickle="final_results.pkl"):
+    """Aggregate per-utterance final losses (reference notebook cells
+    29-37): one row per utterance with the last produced mel / semvec /
+    planned losses; writes a tab-separated txt and a DataFrame pickle."""
+    import pandas as pd
+
+    rows = []
+    for root, _dirs, names in os.walk(save_dir):
+        for name in sorted(names):
+            if not name.endswith("_results.pkl"):
+                continue
+            with open(os.path.join(root, name), "rb") as fh:
+                res = pickle.load(fh)
+            row = {
+                "file": name[: -len("_results.pkl")],
+                "label": os.path.basename(root),
+                "prod_loss": res.prod_loss_steps[-1]
+                if res.prod_loss_steps else np.nan,
+                "planned_loss": res.planned_loss_steps[-1]
+                if res.planned_loss_steps else np.nan,
+                "planned_mel_loss": res.planned_mel_loss_steps[-1]
+                if res.planned_mel_loss_steps else np.nan,
+                "vel_loss": res.vel_loss_steps[-1]
+                if res.vel_loss_steps else np.nan,
+                "jerk_loss": res.jerk_loss_steps[-1]
+                if res.jerk_loss_steps else np.nan,
+                "prod_semvec_loss": res.prod_semvec_loss_steps[-1]
+                if res.prod_semvec_loss_steps else np.nan,
+                "planned_cp": res.planned_cp,
+                "prod_mel": res.prod_mel,
+                "prod_semvec": res.prod_semvec,
+            }
+            rows.append(row)
+    final = pd.DataFrame(rows)
+    if out_txt:
+        cols = ["file", "label", "prod_loss", "planned_loss",
+                "planned_mel_loss", "vel_loss", "jerk_loss",
+                "prod_semvec_loss"]
+        final[cols].to_csv(os.path.join(save_dir, out_txt), sep="\t",
+                           index=False)
+    if out_pickle:
+        final.to_pickle(os.path.join(save_dir, out_pickle), protocol=4)
+    return final

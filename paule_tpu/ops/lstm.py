@@ -15,8 +15,39 @@ Design notes (TPU-first, not a torch translation):
   sharding axis.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas():
+    """Static (import-time) choice of the fused Pallas kernel.
+
+    'auto' (default): on for the TPU backend in float32 mode; the f64 CPU
+    parity mode and CPU tests use the `lax.scan` path.  Override with
+    PAULE_TPU_PALLAS=0/1."""
+    flag = os.environ.get("PAULE_TPU_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        if jax.config.jax_enable_x64:
+            return False
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+_PALLAS = None
+
+
+def pallas_enabled():
+    global _PALLAS
+    if _PALLAS is None:
+        _PALLAS = _use_pallas()
+    return _PALLAS
 
 
 def lstm_layer_params(rng, input_size, hidden_size, dtype=jnp.float32):
@@ -35,6 +66,9 @@ def lstm_layer_params(rng, input_size, hidden_size, dtype=jnp.float32):
 
 def lstm_layer(params, x, h0=None, c0=None):
     """One LSTM layer over (B, T, in) -> (output (B, T, H), (h_T, c_T))."""
+    if pallas_enabled():
+        from .pallas_lstm import lstm_layer_pallas
+        return lstm_layer_pallas(params, x, h0, c0)
     w_ih, w_hh, b = params["w_ih"], params["w_hh"], params["b"]
     batch, _seq, _ = x.shape
     hidden = w_hh.shape[0]

@@ -1,0 +1,62 @@
+"""Corpus-planning experiment driver: discovery/resume semantics, the
+plan->save->aggregate loop, and checkpointing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from paule_tpu import experiments, synth
+from paule_tpu.api import Paule
+from paule_tpu.dsp import audio as audio_io
+from paule_tpu.ops.normalize import inv_normalize_cp
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    synth.initialize()
+    rng = np.random.default_rng(0)
+    for label, name in [("ba", "u1"), ("da", "u2")]:
+        d = root / label
+        d.mkdir()
+        cp = np.clip(rng.normal(0, 0.1, (40, 30)).cumsum(0) * 0.1, -1, 1)
+        sig, sr = synth.speak(inv_normalize_cp(cp))
+        audio_io.write(str(d / f"{name}_{label}.wav"), sig, sr)
+    return str(root)
+
+
+def test_discover_and_label(corpus):
+    files = experiments.discover_targets(corpus, shuffle=False)
+    assert len(files) == 2
+    assert sorted(experiments.label_of(f) for f in files) == ["ba", "da"]
+
+
+def test_plan_corpus_and_collect(corpus, tmp_path):
+    save_dir = str(tmp_path / "out")
+    p = Paule(seed=3)
+    files = experiments.discover_targets(corpus, shuffle=False)
+    semvecs = {"ba": np.zeros(300), "da": np.zeros(300)}
+    result_files = experiments.plan_corpus(
+        p, files, save_dir, semvec_lookup=semvecs, checkpoint_every=1,
+        verbose=False,
+        plan_kwargs=dict(n_outer=1, n_inner=2, log_ii=1, n_batches=1,
+                         batch_size=2, n_epochs=1, continue_learning=True))
+    assert len(result_files) == 2
+    assert os.path.exists(os.path.join(save_dir, "checkpoint.pkl"))
+    assert all(os.path.exists(f) for f in result_files)
+    # planned audio written next to results (flac, or wav without ffmpeg)
+    planned = [f.replace("_results.pkl", "_planned")
+               for f in result_files]
+    assert all(os.path.exists(f + ".flac") or os.path.exists(f + ".wav")
+               for f in planned)
+
+    final = experiments.collect_results(save_dir)
+    assert len(final) == 2
+    assert np.isfinite(final["prod_loss"]).all()
+    assert os.path.exists(os.path.join(save_dir, "results_loss.txt"))
+    assert os.path.exists(os.path.join(save_dir, "final_results.pkl"))
+
+    # resume: everything planned -> nothing left to do
+    remaining = experiments.discover_targets(corpus, save_dir=save_dir)
+    assert remaining == []
