@@ -721,7 +721,7 @@ class Paule:
                 fetch["pred_semvec"] = seg_out["pred_semvec"][:, 0]
             if log_gradients:
                 fetch["grads"] = seg_out["grads"]
-            host = jax.device_get(fetch)  # single transfer for all steps
+            host = jax.device_get(fetch)  # one transfer point for all steps' logs
             subs = host["subs"]
             snapshots = np.asarray(host["xx_pre"], dtype=np.float64)
             pred_mels = np.asarray(host["pred_mel"], dtype=np.float64)

@@ -151,7 +151,7 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
             losses.append(trainer.train_batch(b_in, b_out))
         device_losses.append(losses)
     import jax
-    host_losses = jax.device_get(device_losses)  # one transfer for all epochs
+    host_losses = jax.device_get(device_losses)  # deferred single sync point
     return [float(np.mean(ls)) for ls in host_losses]
 
 
