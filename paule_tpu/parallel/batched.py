@@ -116,8 +116,9 @@ def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
         constraints=engine.Constraints(), lr=learning_rate_planning)
 
     out = {
-        "planned_cp": np.asarray(xx, dtype=np.float64),
-        "sub_losses": jax.tree.map(np.asarray, logs["sub_losses"]),
+        "planned_cp": np.asarray(jax.device_get(xx), dtype=np.float64),
+        "sub_losses": jax.tree.map(np.asarray,
+                                   jax.device_get(logs["sub_losses"])),
     }
     if synthesize:
         import concurrent.futures as cf
