@@ -81,8 +81,8 @@ def paule_state(model):
         state["tube_mel_params"] = model.tube_mel_trainer.params
         state["tube_mel_opt_state"] = model.tube_mel_trainer.opt_state
         state["tube_embedder_params"] = model.tube_embedder_params
-    if len(model.continue_data) > 0:
-        state["continue_data"] = model.continue_data.data
+    state["continue_data"] = (model.continue_data.data
+                              if len(model.continue_data) > 0 else None)
     return state
 
 

@@ -44,7 +44,8 @@ def discover_targets(data_dir, *, save_dir=None, shuffle=True, seed=23082022):
         done = set()
         for root, _dirs, names in os.walk(save_dir):
             for name in names:
-                if name.endswith("_results.pkl"):
+                if (name.endswith("_results.pkl")
+                        and name != "final_results.pkl"):
                     done.add(name[: -len("_results.pkl")])
         files = [f for f in files
                  if os.path.splitext(os.path.basename(f))[0] not in done]
@@ -139,7 +140,8 @@ def collect_results(save_dir, *, out_txt="results_loss.txt",
     rows = []
     for root, _dirs, names in os.walk(save_dir):
         for name in sorted(names):
-            if not name.endswith("_results.pkl"):
+            if (not name.endswith("_results.pkl")
+                    or name == "final_results.pkl"):
                 continue
             with open(os.path.join(root, name), "rb") as fh:
                 res = pickle.load(fh)

@@ -30,12 +30,15 @@ def _use_pallas():
     flag = os.environ.get("PAULE_TPU_PALLAS", "auto")
     if flag == "0":
         return False
-    if flag == "1":
+    if flag in ("1", "interpret"):
+        # "interpret" also sets pallas_lstm.INTERPRET so the kernels run in
+        # the Pallas interpreter (CPU-testable)
         return True
     try:
         if jax.config.jax_enable_x64:
             return False
-        return jax.default_backend() not in ("cpu",)
+        # the kernels use TPU block specs; 'axon' is the tunneled TPU plugin
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 

@@ -153,10 +153,11 @@ def speak(cp_param):
     return audio, SAMPLE_RATE
 
 
-def speak_and_extract_tube_information(cp_param):
-    """Frame-by-frame synthesis with tube extraction (behavioral contract of
-    /root/reference/paule/util.py:317-433)."""
-    lib = _default()
+def _speak_and_extract_core(cp_param, reset_fn, add_tract_fn,
+                            tract_to_tube_fn):
+    """Shared frame-by-frame synthesis + tube-extraction loop (behavioral
+    contract of /root/reference/paule/util.py:317-433); the three callables
+    wrap either the default-instance or a handle-based C entry point."""
     cp = _check_cp(cp_param)
     n_frames = cp.shape[0]
     tract = np.ascontiguousarray(cp[:, :N_TRACT])
@@ -170,7 +171,7 @@ def speak_and_extract_tube_information(cp_param):
     tongue_tip = np.zeros(n_frames)
     velum = np.zeros(n_frames)
 
-    failure = lib.pts_synthesis_reset()
+    failure = reset_fn()
     if failure != 0:
         raise ValueError(f"Error in pts_synthesis_reset! Errorcode: {failure}")
 
@@ -180,7 +181,7 @@ def speak_and_extract_tube_information(cp_param):
         n_samples = 0 if i == 0 else FRAME_STEPS
         audio_view = audio[(i - 1) * FRAME_STEPS : i * FRAME_STEPS] if i > 0 \
             else np.zeros(1)
-        failure = lib.pts_synthesis_add_tract(
+        failure = add_tract_fn(
             n_samples, audio_view.ctypes.data_as(dptr),
             tract[i].ctypes.data_as(dptr), glottis[i].ctypes.data_as(dptr))
         if failure != 0:
@@ -189,7 +190,7 @@ def speak_and_extract_tube_information(cp_param):
         inc = ctypes.c_double(0)
         tt = ctypes.c_double(0)
         vel = ctypes.c_double(0)
-        failure = lib.pts_tract_to_tube(
+        failure = tract_to_tube_fn(
             tract[i].ctypes.data_as(dptr),
             tube_length[i].ctypes.data_as(dptr),
             tube_area[i].ctypes.data_as(dptr),
@@ -211,6 +212,15 @@ def speak_and_extract_tube_information(cp_param):
         "velum_opening_cm2": velum,
     }
     return audio, SAMPLE_RATE, tube_info
+
+
+def speak_and_extract_tube_information(cp_param):
+    """Frame-by-frame synthesis with tube extraction on the default
+    (global) synthesizer instance."""
+    lib = _default()
+    return _speak_and_extract_core(
+        cp_param, lib.pts_synthesis_reset, lib.pts_synthesis_add_tract,
+        lib.pts_tract_to_tube)
 
 
 def tract_to_tube(tract_params):
@@ -541,63 +551,16 @@ class SynthPool:
     def speak_and_extract_tube_information(self, cp_param):
         """Handle-based, concurrency-safe variant of the module-level
         :func:`speak_and_extract_tube_information`."""
-        cp = _check_cp(cp_param)
-        n_frames = cp.shape[0]
-        tract = np.ascontiguousarray(cp[:, :N_TRACT])
-        glottis = np.ascontiguousarray(cp[:, N_TRACT:])
-        audio = np.zeros(max(0, (n_frames - 1)) * FRAME_STEPS,
-                         dtype=np.float64)
-        tube_length = np.zeros((n_frames, N_TUBE_SECTIONS))
-        tube_area = np.zeros((n_frames, N_TUBE_SECTIONS))
-        tube_articulator_idx = np.zeros((n_frames, N_TUBE_SECTIONS),
-                                        dtype=np.int32)
-        incisor = np.zeros(n_frames)
-        tongue_tip = np.zeros(n_frames)
-        velum = np.zeros(n_frames)
-        dptr = ctypes.POINTER(ctypes.c_double)
-        iptr = ctypes.POINTER(ctypes.c_int)
         h = self._acquire()
         try:
             hc = ctypes.c_void_p(h)
-            failure = self._lib.pts_reset_h(hc)
-            if failure != 0:
-                raise ValueError(f"pts_reset_h failed: {failure}")
-            for i in range(n_frames):
-                n_samples = 0 if i == 0 else FRAME_STEPS
-                audio_view = (audio[(i - 1) * FRAME_STEPS : i * FRAME_STEPS]
-                              if i > 0 else np.zeros(1))
-                failure = self._lib.pts_add_tract_h(
-                    hc, n_samples, audio_view.ctypes.data_as(dptr),
-                    tract[i].ctypes.data_as(dptr),
-                    glottis[i].ctypes.data_as(dptr))
-                if failure != 0:
-                    raise ValueError(f"pts_add_tract_h failed: {failure}")
-                inc = ctypes.c_double(0)
-                tt = ctypes.c_double(0)
-                vel = ctypes.c_double(0)
-                failure = self._lib.pts_tract_to_tube_h(
-                    hc, tract[i].ctypes.data_as(dptr),
-                    tube_length[i].ctypes.data_as(dptr),
-                    tube_area[i].ctypes.data_as(dptr),
-                    tube_articulator_idx[i].ctypes.data_as(iptr),
-                    ctypes.byref(inc), ctypes.byref(tt), ctypes.byref(vel))
-                if failure != 0:
-                    raise ValueError(f"pts_tract_to_tube_h failed: {failure}")
-                incisor[i] = inc.value
-                tongue_tip[i] = tt.value
-                velum[i] = vel.value
+            return _speak_and_extract_core(
+                cp_param,
+                lambda: self._lib.pts_reset_h(hc),
+                lambda *a: self._lib.pts_add_tract_h(hc, *a),
+                lambda *a: self._lib.pts_tract_to_tube_h(hc, *a))
         finally:
             self._release(h)
-        arti = np.vectorize(ARTICULATOR.get)(tube_articulator_idx)
-        tube_info = {
-            "tube_length_cm": tube_length,
-            "tube_area_cm2": tube_area,
-            "tube_articulator": arti,
-            "incisor_pos_cm": incisor,
-            "tongue_tip_side_elevation": tongue_tip,
-            "velum_opening_cm2": velum,
-        }
-        return audio, SAMPLE_RATE, tube_info
 
     def close(self):
         with self._lock:
