@@ -48,7 +48,33 @@ from .visualize import plot_cp, plot_mel  # noqa: F401
 
 # --- losses / derivatives ----------------------------------------------------
 from .ops.losses import (  # noqa: F401
-    cp_trajectory_loss, rmse as rmse_loss, velocity_jerk_loss,
+    cp_trajectory_loss, velocity_jerk_loss,
+)
+
+
+class RMSELoss:
+    """sqrt(MSE + eps), callable like the reference's torch module
+    (/root/reference/paule/util.py:564-574)."""
+
+    def __init__(self, eps=1e-6):
+        self.eps = eps
+
+    def __call__(self, y_hat, y):
+        import jax.numpy as jnp
+
+        return jnp.sqrt(jnp.mean((jnp.asarray(y_hat) - jnp.asarray(y)) ** 2)
+                        + self.eps)
+
+
+rmse_loss = RMSELoss(eps=0)
+
+# tube-feature bounds (reference /root/reference/paule/util.py:92-105)
+from .ops.normalize import (  # noqa: F401,E402
+    MIN_AREA as min_area, MAX_AREA as max_area,
+    MIN_LENGTH as min_length, MAX_LENGTH as max_length,
+    MIN_INCISOR as min_incisor, MAX_INCISOR as max_incisor,
+    MIN_TONGUE as min_tongue, MAX_TONGUE as max_tongue,
+    MIN_VELUM as min_velum, MAX_VELUM as max_velum,
 )
 from .ops.derivatives import (  # noqa: F401
     five_point_stencil as calculate_five_point_stencil_without_padding,
