@@ -23,7 +23,18 @@ for b in range(8):
 target_mels = np.stack(targets)  # (8, 32, 60)
 
 mesh = make_mesh()  # all available devices, pure dp
+
+# one-shot scan (no synthesis feedback):
 out = batched.plan_batch(paule_model, target_mels, mesh=mesh, n_steps=50,
                          objective="acoustic")
 print("planned:", out["planned_cp"].shape)
 print("final planned losses:", out["sub_losses"].total[-1])
+
+# full loop: outer iterations with host synthesis fan-out + shared
+# continue-learning on dp-sharded batches (the multi-chip counterpart of
+# Paule.plan_resynth):
+out = batched.plan_batch_resynth(paule_model, target_mels, mesh=mesh,
+                                 n_outer=5, n_inner=25,
+                                 objective="acoustic",
+                                 continue_learning=True, verbose=True)
+print("produced-loss curve:", out["prod_loss_curve"].mean(axis=1))

@@ -132,3 +132,125 @@ def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
                 out["planned_cp"]))
         out["prod_sigs"] = sigs
     return out
+
+
+def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
+                       mesh=None, n_outer=5, n_inner=25,
+                       learning_rate_planning=0.01, objective="acoustic",
+                       log_semantics=False, continue_learning=True,
+                       n_epochs=2, batch_size=8, verbose=False):
+    """Full batched planning loop: the data-parallel counterpart of
+    ``Paule.plan_resynth`` for a corpus slice of same-length utterances.
+
+    Structure per outer iteration (mirrors the single-utterance engine, with
+    a coarser synthesis cadence chosen for scale — one synthesis per
+    utterance per outer iteration instead of per inner step):
+
+    1. one compiled batched scan of ``n_inner`` planning updates, the batch
+       axis sharded over the mesh's dp axis (per-utterance Adam states);
+    2. every utterance's current trajectory synthesizes concurrently on the
+       host pool; produced mels/losses come from one batched device program;
+    3. (optional) continue-learning: the shared predictive model trains on
+       ALL produced (trajectory, mel) pairs of this iteration, batches
+       sharded over dp.
+
+    Returns a dict with planned trajectories, per-outer-iteration produced
+    losses (n_outer, B), per-step planned sub-losses, produced audio of the
+    final trajectories, and the continue-learning loss curve.
+    """
+    import concurrent.futures as cf
+
+    from . import mesh as mesh_mod
+    from ..dsp.mel import melspec_44100
+    from ..ops import losses as L
+    from ..ops.normalize import inv_normalize_cp, normalize_mel
+
+    dtype = paule_obj.dtype
+    target_mels = jnp.asarray(target_mels, dtype=dtype)
+    b, f, _ = target_mels.shape
+
+    if target_semvecs is None:
+        lens = jnp.full((b,), f)
+        target_semvecs = paule_obj._j_embed(
+            paule_obj.embedder_params, target_mels, lens)
+    target_semvecs = jnp.asarray(target_semvecs, dtype=dtype)
+
+    xx = paule_obj._j_inv(paule_obj.inv_trainer.params, target_mels)
+    xx = jnp.clip(xx, -1.0, 1.0)
+
+    if mesh is not None:
+        xx = mesh_mod.shard_batch(mesh, xx)
+        target_mels = mesh_mod.shard_batch(mesh, target_mels)
+        target_semvecs = mesh_mod.shard_batch(mesh, target_semvecs)
+
+    opt_state = init_batched_opt_state(xx, learning_rate_planning)
+    cons = engine.Constraints(smiling=paule_obj.smiling)
+
+    @jax.jit
+    def prod_metrics(sigs, tmels):
+        mels = normalize_mel(jax.vmap(
+            lambda s: melspec_44100(s, dtype=dtype))(sigs))
+        losses = 5.0 * jax.vmap(lambda m, t: L.rmse(m, t))(mels, tmels)
+        return mels, losses
+
+    pool = paule_obj._synth_pool
+    prod_loss_curve = []
+    pred_model_loss = []
+    sub_losses_all = []
+    sigs = None
+    prod_mels_host = None
+
+    for ii_outer in range(n_outer):
+        bundle = paule_obj._bundle()
+        params_dynamic, models_static = engine.split_bundle(bundle)
+        xx, opt_state, logs = plan_segment_batched(
+            params_dynamic, models_static, xx, opt_state, target_mels,
+            target_semvecs, paule_obj._next_rng(), n_steps=n_inner,
+            objective=objective, use_speech_classifier=False,
+            use_somatosensory=False, log_semantics=log_semantics,
+            constraints=cons, lr=learning_rate_planning)
+        sub_losses_all.append(jax.device_get(logs["sub_losses"]))
+
+        cps = np.asarray(jax.device_get(xx), dtype=np.float64)
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            sigs = list(ex.map(
+                lambda cp: pool.speak(inv_normalize_cp(cp))[0], cps))
+        sigs_arr = np.stack(sigs)
+        host_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        prod_mels, prod_losses = prod_metrics(
+            jnp.asarray(sigs_arr.astype(host_dtype)), target_mels)
+        prod_losses = np.asarray(jax.device_get(prod_losses))
+        prod_loss_curve.append(prod_losses)
+        prod_mels_host = np.asarray(jax.device_get(prod_mels),
+                                    dtype=np.float64)
+        if verbose:
+            print(f"outer {ii_outer}: prod loss "
+                  f"mean {prod_losses.mean():.4f} "
+                  f"max {prod_losses.max():.4f}")
+
+        if continue_learning:
+            # shared predictive model trains on all produced pairs; batches
+            # keep the dp layout so gradients reduce over ICI
+            order = paule_obj._py_rng.sample(range(b), b)
+            for _ in range(n_epochs):
+                for start in range(0, b, batch_size):
+                    idx = order[start:start + batch_size]
+                    if len(idx) < 2:
+                        continue
+                    bi = jnp.asarray(cps[idx], dtype=dtype)
+                    bo = jnp.asarray(prod_mels_host[idx], dtype=dtype)
+                    if mesh is not None and len(idx) % mesh.shape["dp"] == 0:
+                        bi = mesh_mod.shard_batch(mesh, bi)
+                        bo = mesh_mod.shard_batch(mesh, bo)
+                    loss = paule_obj.pred_trainer.train_batch(bi, bo)
+                    pred_model_loss.append(loss)
+    pred_model_loss = [float(l) for l in jax.device_get(pred_model_loss)]
+
+    return {
+        "planned_cp": np.asarray(jax.device_get(xx), dtype=np.float64),
+        "prod_sigs": sigs,
+        "prod_mels": prod_mels_host,
+        "prod_loss_curve": np.stack(prod_loss_curve),
+        "sub_losses": sub_losses_all,
+        "pred_model_loss": pred_model_loss,
+    }

@@ -114,3 +114,39 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_plan_batch_resynth_dp():
+    """Full batched planning loop on the 8-device mesh: planning losses
+    drop, produced metrics are finite, continue-learning trains the shared
+    model on dp-sharded batches."""
+    import numpy as np
+    from paule_tpu.api import Paule
+    from paule_tpu import synth
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
+
+    synth.initialize()
+    p = Paule(seed=11)
+    rng = np.random.default_rng(3)
+    tmels = []
+    for _ in range(8):
+        cp = np.clip(rng.normal(0, 0.1, (24, 30)).cumsum(0) * 0.1, -1, 1)
+        sig, sr = synth.speak(inv_normalize_cp(cp))
+        tmels.append(normalize_mel(librosa_melspec(sig, sr)))
+    tmels = np.stack(tmels)
+
+    mesh = mesh_mod.make_mesh(8, dp=8, tp=1)
+    out = batched.plan_batch_resynth(
+        p, tmels, mesh=mesh, n_outer=2, n_inner=3,
+        objective="acoustic", continue_learning=True, n_epochs=1,
+        batch_size=8)
+    assert out["planned_cp"].shape == (8, 24, 30)
+    assert out["prod_loss_curve"].shape == (2, 8)
+    assert np.isfinite(out["prod_loss_curve"]).all()
+    assert len(out["pred_model_loss"]) >= 2
+    # planned total loss decreases over the scan for every utterance
+    first = out["sub_losses"][0].total[0]
+    last = out["sub_losses"][-1].total[-1]
+    assert (last < first).all()
+    assert len(out["prod_sigs"]) == 8
