@@ -72,6 +72,29 @@ def _mha(params, x, nhead, key_padding_mask=None):
     return B.linear(params["o"], out)
 
 
+def transformer_encoder_layer_init(rng, d_model, dim_feedforward,
+                                   dtype=jnp.float32):
+    """One pre-built encoder layer: batch-first MHA + GELU FFN + post-norms
+    (the reference's CustomTransformerEncoderLayer,
+    /root/reference/paule/models.py:824-854)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "attn": _mha_init(k1, d_model, dtype),
+        "linear1": B.linear_init(k2, d_model, dim_feedforward, dtype),
+        "linear2": B.linear_init(k3, dim_feedforward, d_model, dtype),
+        "norm1": B.layernorm_init(d_model, dtype),
+        "norm2": B.layernorm_init(d_model, dtype),
+    }
+
+
+def transformer_encoder_layer(params, x, *, nhead, key_padding_mask=None):
+    attn = _mha(params["attn"], x, nhead, key_padding_mask=key_padding_mask)
+    out = B.layernorm(params["norm1"], x + attn)
+    ff = B.linear(params["linear2"],
+                  jax.nn.gelu(B.linear(params["linear1"], out)))
+    return B.layernorm(params["norm2"], out + ff)
+
+
 class SpeechNonSpeechTransformer:
 
     def __init__(self, input_dim=60, num_layers=3, nhead=6, output_dim=1,
@@ -84,18 +107,12 @@ class SpeechNonSpeechTransformer:
         self.max_len = max_len
 
     def init(self, rng, dtype=jnp.float32):
-        keys = iter(jax.random.split(rng, self.num_layers * 3 + 2))
-        layers = []
-        for _ in range(self.num_layers):
-            layers.append({
-                "attn": _mha_init(next(keys), self.input_dim, dtype),
-                "linear1": B.linear_init(next(keys), self.input_dim,
-                                         self.dim_feedforward, dtype),
-                "linear2": B.linear_init(next(keys), self.dim_feedforward,
-                                         self.input_dim, dtype),
-                "norm1": B.layernorm_init(self.input_dim, dtype),
-                "norm2": B.layernorm_init(self.input_dim, dtype),
-            })
+        keys = iter(jax.random.split(rng, self.num_layers + 2))
+        layers = [
+            transformer_encoder_layer_init(
+                next(keys), self.input_dim, self.dim_feedforward, dtype)
+            for _ in range(self.num_layers)
+        ]
         head = {
             "linear1": B.linear_init(next(keys), self.input_dim, 20, dtype),
             "linear2": B.linear_init(next(keys), 20, self.output_dim, dtype),
@@ -113,10 +130,8 @@ class SpeechNonSpeechTransformer:
             ).astype(x.dtype)
         out = x + params["pe"][None, :t, :]
         for lp in params["layers"]:
-            attn = _mha(lp["attn"], out, self.nhead, key_padding_mask=mask)
-            out = B.layernorm(lp["norm1"], out + attn)
-            ff = B.linear(lp["linear2"], jax.nn.gelu(B.linear(lp["linear1"], out)))
-            out = B.layernorm(lp["norm2"], out + ff)
+            out = transformer_encoder_layer(lp, out, nhead=self.nhead,
+                                            key_padding_mask=mask)
         out = out.mean(axis=1)
         out = B.linear(params["head"]["linear1"], out)
         out = jax.nn.gelu(out)

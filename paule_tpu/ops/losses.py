@@ -29,6 +29,10 @@ def rmse(yhat, y, *, eps=0.0):
     return jnp.sqrt(mse(yhat, y) + eps)
 
 
+def l1(yhat, y):
+    return jnp.mean(jnp.abs(yhat - y))
+
+
 def bce_with_logits(logits, targets):
     """Binary cross entropy on logits, mean-reduced (numerically stable)."""
     # max(x,0) - x*z + log(1 + exp(-|x|))

@@ -51,6 +51,13 @@ TUBE_SEMANTIC_WEIGHT = SEMANTIC_WEIGHT
 
 OBJECTIVES = ("acoustic", "semvec", "acoustic_semvec")
 
+# reference module-level criterion aliases (/root/reference/paule/paule.py)
+mse_loss = L.mse
+rmse_loss = L.rmse
+bce_loss = L.bce_with_logits
+l2 = L.mse
+l1 = L.l1
+
 
 class SubLosses(NamedTuple):
     """Per-step sub-losses (weighted); inactive terms are zero."""

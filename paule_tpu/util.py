@@ -147,3 +147,21 @@ def get_pretrained_weights_version():
         return f"<No version file found at {version_path}>"
     with open(version_path, "rt") as vfile:
         return vfile.read().strip()
+
+
+# --- reference module-level artifacts (lazy; the reference initializes its
+# --- native library at import time, /root/reference/paule/util.py:17-41)
+SPEAKER_FILE_NAME = os.path.join(DIR, "synth", "speaker", "default.speaker")
+FAILURE = 0  # init error code of the default instance (0 = success)
+
+
+def __getattr__(name):
+    if name == "VTL":
+        from . import synth as _synth
+
+        return _synth._default()
+    if name == "VERSION":
+        from . import synth as _synth
+
+        return _synth.version()
+    raise AttributeError(name)
