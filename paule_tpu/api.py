@@ -1054,8 +1054,8 @@ class Paule:
                      "tube_norm", "segment_data"])
         produced["cp_norm"] = seg_logs_ii["cp"]
         produced["melspec_norm_synthesized"] = seg_logs_ii["prod_mel"]
-        produced["vector"] = [
-            _to_np(target_semvec_dev[0]) for _ in range(len(produced))]
+        target_semvec_np = _to_np(target_semvec_dev[0])  # fetch once
+        produced["vector"] = [target_semvec_np] * len(produced)
         produced["segment_data"] = False
         if self.use_somatosensory_feedback:
             produced["tube_norm"] = seg_logs_ii["prod_tube"]

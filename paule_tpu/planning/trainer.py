@@ -101,21 +101,39 @@ class ModelTrainer:
         loss_kind = self.loss_kind
         optimizer = self.optimizer
 
+        def loss_fn(p, batch_in, batch_out):
+            y_hat = model.apply(p, batch_in)
+            if loss_kind == "rmse":
+                return L.rmse(y_hat, batch_out)
+            elif loss_kind == "cp_trajectory":
+                return L.cp_trajectory_loss(y_hat, batch_out)[0]
+            raise ValueError(loss_kind)
+
         @jax.jit
         def train_step(params, opt_state, batch_in, batch_out):
-            def loss_fn(p):
-                y_hat = model.apply(p, batch_in)
-                if loss_kind == "rmse":
-                    return L.rmse(y_hat, batch_out)
-                elif loss_kind == "cp_trajectory":
-                    return L.cp_trajectory_loss(y_hat, batch_out)[0]
-                raise ValueError(loss_kind)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, batch_in, batch_out)
             updates, opt_state = optimizer.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        @jax.jit
+        def train_scan(params, opt_state, all_in, all_out, idx):
+            """Run len(idx) sequential optimizer steps in ONE compiled
+            program; batches gather on device (idx: (n_steps, batch))."""
+            def step(carry, ib):
+                p, s = carry
+                bi = jnp.take(all_in, ib, axis=0)
+                bo = jnp.take(all_out, ib, axis=0)
+                loss, grads = jax.value_and_grad(loss_fn)(p, bi, bo)
+                updates, s = optimizer.update(grads, s)
+                return (optax.apply_updates(p, updates), s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), idx)
+            return params, opt_state, losses
+
+        self._scan = train_scan
         return train_step
 
     def train_batch(self, batch_in, batch_out):
@@ -126,21 +144,69 @@ class ModelTrainer:
             jnp.asarray(batch_out))
         return loss
 
+    def train_scan(self, all_in, all_out, idx):
+        """Run ``idx.shape[0]`` sequential steps as one compiled scan;
+        returns per-step losses (device array)."""
+        self.params, self.opt_state, losses = self._scan(
+            self.params, self.opt_state, all_in, all_out, jnp.asarray(idx))
+        return losses
+
 
 def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
                  rng=random, dtype=np.float32):
     """Train for n_epochs with same-size batching; returns per-epoch mean
     losses.  ``inps``/``tgts`` are sequences (lists / pandas Series) of
-    variable-length (T_i, C) arrays."""
+    variable-length (T_i, C) arrays.
+
+    Fast path: when every sample has the same length (the common case for
+    continue-learning on one utterance's snapshots), ALL steps of all epochs
+    compile into scans over on-device index gathers — contiguous runs of
+    equal batch size become one dispatch each, instead of one dispatch (and
+    one host round-trip) per batch."""
+    import jax
+
     inps = list(inps)
     tgts = list(tgts)
     lens_in = np.asarray(lens_in)
     length_dict = build_length_dict(lens_in)
-    device_losses = []  # per-epoch lists of device scalars; fetched once
-    for _ in range(n_epochs):
-        batches = create_epoch_batches(
+
+    # epoch batch plan (consumes the rng stream identically to the slow path)
+    epoch_batches = [
+        create_epoch_batches(
             len(inps), batch_size, shuffle=True, same_size_batching=True,
             training_length_dict=length_dict, rng=rng)
+        for _ in range(n_epochs)
+    ]
+
+    same_len = (len(set(lens_in.tolist())) == 1
+                and len({len(t_) for t_ in tgts}) == 1)
+    if same_len:
+        all_in = jnp.asarray(np.stack(inps).astype(dtype))
+        all_out = jnp.asarray(np.stack(tgts).astype(dtype))
+        flat = [np.asarray(b, dtype=np.int32)
+                for ep in epoch_batches for b in ep]
+        sizes_per_epoch = [len(ep) for ep in epoch_batches]
+        # contiguous same-batch-size runs -> one compiled scan each
+        losses_parts = []
+        i = 0
+        while i < len(flat):
+            j = i
+            while j < len(flat) and len(flat[j]) == len(flat[i]):
+                j += 1
+            idx = np.stack(flat[i:j])  # (run, bs)
+            losses_parts.append(trainer.train_scan(all_in, all_out, idx))
+            i = j
+        losses = np.concatenate(
+            [np.atleast_1d(np.asarray(p)) for p in
+             jax.device_get(losses_parts)])
+        out, pos = [], 0
+        for n in sizes_per_epoch:
+            out.append(float(np.mean(losses[pos:pos + n])))
+            pos += n
+        return out
+
+    device_losses = []  # per-epoch lists of device scalars; fetched once
+    for batches in epoch_batches:
         losses = []
         for idxs in batches:
             b_in = pad_batch(lens_in[list(idxs)],
@@ -150,7 +216,6 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
                               dtype=dtype)
             losses.append(trainer.train_batch(b_in, b_out))
         device_losses.append(losses)
-    import jax
     host_losses = jax.device_get(device_losses)  # deferred single sync point
     return [float(np.mean(ls)) for ls in host_losses]
 
