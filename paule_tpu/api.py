@@ -681,7 +681,15 @@ class Paule:
         pred_mel_last = initial_pred_mel
 
         start_time = time.time()
-        for ii_outer in range(n_outer):
+        # tqdm progress on the outer loop, like the reference
+        # (/root/reference/paule/paule.py:894); falls back silently
+        try:
+            from tqdm import trange as _trange
+            outer_iter = _trange(n_outer, desc="planning",
+                                 disable=not verbose)
+        except ImportError:  # pragma: no cover
+            outer_iter = range(n_outer)
+        for ii_outer in outer_iter:
             seg_logs_ii = {
                 "cp": [], "prod_mel": [], "pred_mel": [], "pred_semvec": [],
                 "prod_semvec": [], "prod_tube": [], "pred_tube": [],
