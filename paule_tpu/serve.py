@@ -1,0 +1,180 @@
+"""HTTP serving for planning and synthesis.
+
+The reference has no serving stack (SURVEY.md §1: "no CLI, no serving
+stack"); this module makes the framework deployable: a threaded JSON/HTTP
+server around a warm :class:`paule_tpu.api.Paule` instance.
+
+* planning requests serialize on the model lock (planning mutates the
+  continue-learning state); synthesis and embedding requests run
+  concurrently (the C++ ``SynthPool`` and jitted model calls are
+  thread-safe);
+* arrays travel as base64-encoded little-endian float32 with an explicit
+  shape, or as plain nested JSON lists;
+* start with ``python -m paule_tpu.serve --port 8750`` or programmatically
+  via :func:`serve`.
+
+Endpoints
+---------
+GET  /health       -> {"status": "ok", "backend": ..., "version": ...}
+POST /synthesize   {"cp": <array (T,30)>, "normalized": true}
+                   -> {"audio": <array>, "sample_rate": 44100}
+POST /embed        {"mel": <array (F,60)>} -> {"semvec": <array (300,)>}
+POST /plan         {"signal": <array>, "sample_rate": int, ...plan kwargs}
+                   -> planned trajectory, losses, produced audio
+"""
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def encode_array(arr):
+    arr = np.asarray(arr, dtype=np.float32)
+    return {"b64": base64.b64encode(arr.astype("<f4").tobytes()).decode(),
+            "shape": list(arr.shape), "dtype": "float32"}
+
+
+def decode_array(obj):
+    if isinstance(obj, dict) and "b64" in obj:
+        arr = np.frombuffer(base64.b64decode(obj["b64"]), dtype="<f4")
+        return arr.reshape(obj["shape"]).astype(np.float64)
+    return np.asarray(obj, dtype=np.float64)
+
+
+class PauleService:
+    """The request handlers, separated from HTTP plumbing for testability."""
+
+    def __init__(self, paule_model=None, **paule_kwargs):
+        from .api import Paule
+
+        self.model = paule_model if paule_model is not None \
+            else Paule(**paule_kwargs)
+        self._plan_lock = threading.Lock()
+
+    def health(self):
+        import jax
+
+        from . import __version__
+
+        return {"status": "ok", "backend": jax.default_backend(),
+                "n_devices": len(jax.devices()), "version": __version__}
+
+    def synthesize(self, payload):
+        from . import synth
+        from .ops.normalize import inv_normalize_cp
+
+        cp = decode_array(payload["cp"])
+        if payload.get("normalized", True):
+            cp = inv_normalize_cp(cp)
+        sig, sr = self.model._synth_pool.speak(cp)
+        return {"audio": encode_array(sig), "sample_rate": sr}
+
+    def embed(self, payload):
+        import jax
+
+        mel = decode_array(payload["mel"])
+        semvec = self.model._embed(mel[None])
+        return {"semvec": encode_array(np.asarray(jax.device_get(semvec))[0])}
+
+    def plan(self, payload):
+        payload = dict(payload)
+        sig = decode_array(payload.pop("signal"))
+        sr = int(payload.pop("sample_rate", 44100))
+        allowed = {
+            "objective", "initialize_from", "n_outer", "n_inner", "log_ii",
+            "n_batches", "batch_size", "n_epochs", "continue_learning",
+            "learning_rate_planning", "learning_rate_learning",
+            "log_semantics", "seed",
+        }
+        kwargs = {k: v for k, v in payload.items() if k in allowed}
+        with self._plan_lock:
+            results = self.model.plan_resynth(
+                target_acoustic=(sig, sr), verbose=False, **kwargs)
+        return {
+            "planned_cp": encode_array(results.planned_cp),
+            "audio": encode_array(results.prod_sig),
+            "sample_rate": results.prod_sr,
+            "prod_loss_steps": [float(x) for x in results.prod_loss_steps],
+            "planned_loss_steps": [float(x)
+                                   for x in results.planned_loss_steps],
+        }
+
+
+def make_server(service, host="127.0.0.1", port=8750):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, service.health())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/synthesize":
+                    self._send(200, service.synthesize(payload))
+                elif self.path == "/embed":
+                    self._send(200, service.embed(payload))
+                elif self.path == "/plan":
+                    self._send(200, service.plan(payload))
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, TypeError) as exc:
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+            except Exception as exc:  # noqa: BLE001
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
+          **paule_kwargs):
+    """Start serving (blocking).  ``warmup=True`` runs a tiny planning call
+    first so the XLA programs are compiled before traffic arrives."""
+    service = PauleService(paule_model, **paule_kwargs)
+    if warmup:
+        _warmup(service.model)
+    server = make_server(service, host, port)
+    print(f"paule_tpu serving on http://{host}:{port}")
+    server.serve_forever()
+
+
+def _warmup(model):
+    from . import synth
+    from .ops.normalize import inv_normalize_cp
+
+    rng = np.random.default_rng(0)
+    cp = np.clip(rng.normal(0, 0.1, (40, 30)).cumsum(0) * 0.1, -1, 1)
+    sig, sr = synth.speak(inv_normalize_cp(cp))
+    model.plan_resynth(target_acoustic=(sig, sr), objective="acoustic",
+                       initialize_from="acoustic", n_outer=1, n_inner=2,
+                       log_ii=1, n_batches=1, batch_size=2, n_epochs=1,
+                       continue_learning=True, verbose=False)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="paule_tpu HTTP service")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8750)
+    ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--pretrained-dir", default=None)
+    args = ap.parse_args()
+    serve(args.host, args.port, warmup=not args.no_warmup,
+          pretrained_dir=args.pretrained_dir)

@@ -1,0 +1,88 @@
+"""HTTP serving: health, synthesis, embedding and planning endpoints over a
+live ThreadingHTTPServer (loopback), including error handling."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from paule_tpu import serve, synth
+from paule_tpu.api import Paule
+from paule_tpu.ops.normalize import inv_normalize_cp, normalize_cp
+
+
+@pytest.fixture(scope="module")
+def server():
+    synth.initialize()
+    service = serve.PauleService(Paule(seed=9))
+    httpd = serve.make_server(service, "127.0.0.1", 0)  # ephemeral port
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        return json.loads(resp.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=60) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["n_devices"] >= 1
+
+
+def test_synthesize_roundtrip(server):
+    rng = np.random.default_rng(0)
+    cp = np.clip(rng.normal(0, 0.1, (40, 30)).cumsum(0) * 0.1, -1, 1)
+    body = _post(server + "/synthesize",
+                 {"cp": serve.encode_array(cp), "normalized": True})
+    audio = serve.decode_array(body["audio"])
+    assert body["sample_rate"] == 44100
+    assert audio.shape == (39 * 110,)
+    # matches a direct pool call
+    ref, _ = synth.speak(inv_normalize_cp(cp))
+    np.testing.assert_allclose(audio, ref, atol=1e-4)
+
+
+def test_embed(server):
+    mel = np.zeros((20, 60))
+    body = _post(server + "/embed", {"mel": mel.tolist()})
+    semvec = serve.decode_array(body["semvec"])
+    assert semvec.shape == (300,)
+
+
+def test_plan(server):
+    rng = np.random.default_rng(1)
+    cp = np.clip(rng.normal(0, 0.1, (40, 30)).cumsum(0) * 0.1, -1, 1)
+    sig, sr = synth.speak(inv_normalize_cp(cp))
+    body = _post(server + "/plan",
+                 {"signal": serve.encode_array(sig), "sample_rate": sr,
+                  "objective": "acoustic", "n_outer": 1, "n_inner": 2,
+                  "log_ii": 1, "n_batches": 1, "batch_size": 2,
+                  "n_epochs": 1})
+    planned = serve.decode_array(body["planned_cp"])
+    assert planned.shape[1] == 30
+    assert len(body["prod_loss_steps"]) == 2
+    assert all(np.isfinite(body["prod_loss_steps"]))
+
+
+def test_bad_request(server):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/synthesize", {"wrong_key": 1})
+    assert err.value.code == 400
+
+
+def test_unknown_path(server):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/nope", {})
+    assert err.value.code == 404
