@@ -153,11 +153,11 @@ def speak(cp_param):
     return audio, SAMPLE_RATE
 
 
-def _speak_and_extract_core(cp_param, reset_fn, add_tract_fn,
-                            tract_to_tube_fn):
-    """Shared frame-by-frame synthesis + tube-extraction loop (behavioral
-    contract of /root/reference/paule/util.py:317-433); the three callables
-    wrap either the default-instance or a handle-based C entry point."""
+def _speak_and_extract_core(cp_param, c_entry):
+    """Whole-trajectory incremental synthesis + per-frame tube extraction in
+    ONE native call (behavioral contract of
+    /root/reference/paule/util.py:317-433; the reference crosses the FFI
+    2*T times per trajectory — this crosses once)."""
     cp = _check_cp(cp_param)
     n_frames = cp.shape[0]
     tract = np.ascontiguousarray(cp[:, :N_TRACT])
@@ -166,41 +166,24 @@ def _speak_and_extract_core(cp_param, reset_fn, add_tract_fn,
     audio = np.zeros(max(0, (n_frames - 1)) * FRAME_STEPS, dtype=np.float64)
     tube_length = np.zeros((n_frames, N_TUBE_SECTIONS))
     tube_area = np.zeros((n_frames, N_TUBE_SECTIONS))
-    tube_articulator_idx = np.zeros((n_frames, N_TUBE_SECTIONS), dtype=np.int32)
+    tube_articulator_idx = np.zeros((n_frames, N_TUBE_SECTIONS),
+                                    dtype=np.int32)
     incisor = np.zeros(n_frames)
     tongue_tip = np.zeros(n_frames)
     velum = np.zeros(n_frames)
 
-    failure = reset_fn()
-    if failure != 0:
-        raise ValueError(f"Error in pts_synthesis_reset! Errorcode: {failure}")
-
     dptr = ctypes.POINTER(ctypes.c_double)
     iptr = ctypes.POINTER(ctypes.c_int)
-    for i in range(n_frames):
-        n_samples = 0 if i == 0 else FRAME_STEPS
-        audio_view = audio[(i - 1) * FRAME_STEPS : i * FRAME_STEPS] if i > 0 \
-            else np.zeros(1)
-        failure = add_tract_fn(
-            n_samples, audio_view.ctypes.data_as(dptr),
-            tract[i].ctypes.data_as(dptr), glottis[i].ctypes.data_as(dptr))
-        if failure != 0:
-            raise ValueError(
-                f"Error in pts_synthesis_add_tract! Errorcode: {failure}")
-        inc = ctypes.c_double(0)
-        tt = ctypes.c_double(0)
-        vel = ctypes.c_double(0)
-        failure = tract_to_tube_fn(
-            tract[i].ctypes.data_as(dptr),
-            tube_length[i].ctypes.data_as(dptr),
-            tube_area[i].ctypes.data_as(dptr),
-            tube_articulator_idx[i].ctypes.data_as(iptr),
-            ctypes.byref(inc), ctypes.byref(tt), ctypes.byref(vel))
-        if failure != 0:
-            raise ValueError(f"Error in pts_tract_to_tube! Errorcode: {failure}")
-        incisor[i] = inc.value
-        tongue_tip[i] = tt.value
-        velum[i] = vel.value
+    failure = c_entry(
+        tract.ctypes.data_as(dptr), glottis.ctypes.data_as(dptr),
+        n_frames, FRAME_STEPS, audio.ctypes.data_as(dptr),
+        tube_length.ctypes.data_as(dptr), tube_area.ctypes.data_as(dptr),
+        tube_articulator_idx.ctypes.data_as(iptr),
+        incisor.ctypes.data_as(dptr), tongue_tip.ctypes.data_as(dptr),
+        velum.ctypes.data_as(dptr))
+    if failure != 0:
+        raise ValueError(
+            f"Error in pts_speak_and_extract! Errorcode: {failure}")
 
     arti = np.vectorize(ARTICULATOR.get)(tube_articulator_idx)
     tube_info = {
@@ -218,9 +201,7 @@ def speak_and_extract_tube_information(cp_param):
     """Frame-by-frame synthesis with tube extraction on the default
     (global) synthesizer instance."""
     lib = _default()
-    return _speak_and_extract_core(
-        cp_param, lib.pts_synthesis_reset, lib.pts_synthesis_add_tract,
-        lib.pts_tract_to_tube)
+    return _speak_and_extract_core(cp_param, lib.pts_speak_and_extract)
 
 
 def tract_to_tube(tract_params):
@@ -556,9 +537,7 @@ class SynthPool:
             hc = ctypes.c_void_p(h)
             return _speak_and_extract_core(
                 cp_param,
-                lambda: self._lib.pts_reset_h(hc),
-                lambda *a: self._lib.pts_add_tract_h(hc, *a),
-                lambda *a: self._lib.pts_tract_to_tube_h(hc, *a))
+                lambda *a: self._lib.pts_speak_and_extract_h(hc, *a))
         finally:
             self._release(h)
 

@@ -87,6 +87,41 @@ int pts_tract_to_tube_h(void* h, const double* tract, double* tube_length,
   return 0;
 }
 
+// Whole-trajectory incremental synthesis + per-frame tube extraction in one
+// call (the Python layer's frame loop made 2*T ctypes crossings; this is
+// the hot path of the somatosensory planning variant).
+int pts_speak_and_extract_h(void* h, const double* tract,
+                            const double* glottis, int n_frames,
+                            int frame_steps, double* audio,
+                            double* tube_length, double* tube_area,
+                            int* articulator, double* incisor_pos,
+                            double* tongue_tip_side, double* velum_opening) {
+  if (!h || n_frames < 1) return 1;
+  Synthesizer* synth = as_inst(h)->synth.get();
+  synth->reset();
+  for (int i = 0; i < n_frames; ++i) {
+    const double* tr = tract + (size_t)i * kTractParams;
+    const double* gl = glottis + (size_t)i * kGlottisParams;
+    int n_samples = (i == 0) ? 0 : frame_steps;
+    double* out = (i == 0) ? nullptr
+                           : audio + (size_t)(i - 1) * frame_steps;
+    int failure = synth->add_tract(n_samples, out, tr, gl);
+    if (failure != 0) return failure;
+    Tube tube;
+    tract_to_tube(synth->speaker(), tr, &tube);
+    std::memcpy(tube_length + (size_t)i * kTubeSections,
+                tube.length_cm.data(), sizeof(double) * kTubeSections);
+    std::memcpy(tube_area + (size_t)i * kTubeSections,
+                tube.area_cm2.data(), sizeof(double) * kTubeSections);
+    std::memcpy(articulator + (size_t)i * kTubeSections,
+                tube.articulator.data(), sizeof(int) * kTubeSections);
+    incisor_pos[i] = tube.incisor_pos_cm;
+    tongue_tip_side[i] = tube.tongue_tip_side_elevation;
+    velum_opening[i] = tube.velum_opening_cm2;
+  }
+  return 0;
+}
+
 // ----------------------------------------------------- default instance API
 
 int pts_initialize(const char* speaker_path) {
@@ -179,6 +214,18 @@ int pts_synthesis_add_tract(int n_samples, double* audio, const double* tract,
   auto* inst = default_inst();
   if (!inst) return 1;
   return inst->synth->add_tract(n_samples, audio, tract, glottis);
+}
+
+int pts_speak_and_extract(const double* tract, const double* glottis,
+                          int n_frames, int frame_steps, double* audio,
+                          double* tube_length, double* tube_area,
+                          int* articulator, double* incisor_pos,
+                          double* tongue_tip_side, double* velum_opening) {
+  Instance* inst = default_inst();
+  if (!inst) return 1;
+  return pts_speak_and_extract_h(inst, tract, glottis, n_frames, frame_steps,
+                                 audio, tube_length, tube_area, articulator,
+                                 incisor_pos, tongue_tip_side, velum_opening);
 }
 
 int pts_tract_to_tube(const double* tract, double* tube_length,
