@@ -74,6 +74,35 @@ def init_batched_opt_state(xx, lr):
     return jax.vmap(optax.adam(lr).init)(xx)
 
 
+def _prepare_batch(paule_obj, target_mels, target_semvecs, mesh,
+                   learning_rate_planning):
+    """Shared setup for the batched planners: target prep, inverse-model
+    init, dp sharding, per-utterance optimizer states."""
+    from . import mesh as mesh_mod
+
+    dtype = paule_obj.dtype
+    target_mels = jnp.asarray(target_mels, dtype=dtype)
+    b, f, _ = target_mels.shape
+
+    if target_semvecs is None:
+        lens = jnp.full((b,), f)
+        target_semvecs = paule_obj._j_embed(
+            paule_obj.embedder_params, target_mels, lens)
+    target_semvecs = jnp.asarray(target_semvecs, dtype=dtype)
+
+    # initialize from the inverse model (batched)
+    xx = jnp.clip(paule_obj._j_inv(paule_obj.inv_trainer.params,
+                                   target_mels), -1.0, 1.0)
+
+    if mesh is not None:
+        xx = mesh_mod.shard_batch(mesh, xx)
+        target_mels = mesh_mod.shard_batch(mesh, target_mels)
+        target_semvecs = mesh_mod.shard_batch(mesh, target_semvecs)
+
+    opt_state = init_batched_opt_state(xx, learning_rate_planning)
+    return xx, opt_state, target_mels, target_semvecs
+
+
 def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
                n_steps=25, learning_rate_planning=0.01, objective="acoustic",
                log_semantics=False, synthesize=True):
@@ -83,37 +112,21 @@ def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
     planned trajectories, per-step sub-losses, and (optionally) the
     synthesized audio of the final trajectories (host fan-out).
     """
-    dtype = paule_obj.dtype
-    target_mels = jnp.asarray(target_mels, dtype=dtype)
-    b, f, _ = target_mels.shape
-
-    if target_semvecs is None:
-        lens = jnp.full((b,), f)
-        target_semvecs = paule_obj.embedder.apply(
-            paule_obj.embedder_params, target_mels, lens)
-    target_semvecs = jnp.asarray(target_semvecs, dtype=dtype)
-
-    # initialize from the inverse model (batched)
-    xx = paule_obj.inv_model.apply(paule_obj.inv_trainer.params, target_mels)
-    xx = jnp.clip(xx, -1.0, 1.0)
-
-    if mesh is not None:
-        bspec = NamedSharding(mesh, P("dp", None, None))
-        xx = jax.device_put(xx, bspec)
-        target_mels = jax.device_put(target_mels, bspec)
-        target_semvecs = jax.device_put(
-            target_semvecs, NamedSharding(mesh, P("dp", None)))
-
-    opt_state = init_batched_opt_state(xx, learning_rate_planning)
+    xx, opt_state, target_mels, target_semvecs = _prepare_batch(
+        paule_obj, target_mels, target_semvecs, mesh,
+        learning_rate_planning)
     bundle = paule_obj._bundle()
     params_dynamic, models_static = engine.split_bundle(bundle)
 
     xx, opt_state, logs = plan_segment_batched(
         params_dynamic, models_static, xx, opt_state, target_mels,
         target_semvecs, paule_obj._next_rng(), n_steps=n_steps,
-        objective=objective, use_speech_classifier=False,
-        use_somatosensory=False, log_semantics=log_semantics,
-        constraints=engine.Constraints(), lr=learning_rate_planning)
+        objective=objective,
+        use_speech_classifier=paule_obj.use_speech_classifier,
+        use_somatosensory=paule_obj.use_somatosensory_feedback,
+        log_semantics=log_semantics,
+        constraints=engine.Constraints(smiling=paule_obj.smiling),
+        lr=learning_rate_planning)
 
     out = {
         "planned_cp": np.asarray(jax.device_get(xx), dtype=np.float64),
@@ -121,15 +134,12 @@ def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
                                    jax.device_get(logs["sub_losses"])),
     }
     if synthesize:
-        import concurrent.futures as cf
-
         from ..ops.normalize import inv_normalize_cp
 
         pool = paule_obj._synth_pool
-        with cf.ThreadPoolExecutor(max_workers=4) as ex:
-            sigs = list(ex.map(
-                lambda cp: pool.speak(inv_normalize_cp(cp))[0],
-                out["planned_cp"]))
+        sigs = list(paule_obj._executor.map(
+            lambda cp: pool.speak(inv_normalize_cp(cp))[0],
+            out["planned_cp"]))
         out["prod_sigs"] = sigs
     return out
 
@@ -158,32 +168,19 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
     losses (n_outer, B), per-step planned sub-losses, produced audio of the
     final trajectories, and the continue-learning loss curve.
     """
-    import concurrent.futures as cf
-
     from . import mesh as mesh_mod
     from ..dsp.mel import melspec_44100
     from ..ops import losses as L
     from ..ops.normalize import inv_normalize_cp, normalize_mel
 
+    if n_outer < 1:
+        raise ValueError("n_outer must be >= 1")
+
     dtype = paule_obj.dtype
-    target_mels = jnp.asarray(target_mels, dtype=dtype)
-    b, f, _ = target_mels.shape
-
-    if target_semvecs is None:
-        lens = jnp.full((b,), f)
-        target_semvecs = paule_obj._j_embed(
-            paule_obj.embedder_params, target_mels, lens)
-    target_semvecs = jnp.asarray(target_semvecs, dtype=dtype)
-
-    xx = paule_obj._j_inv(paule_obj.inv_trainer.params, target_mels)
-    xx = jnp.clip(xx, -1.0, 1.0)
-
-    if mesh is not None:
-        xx = mesh_mod.shard_batch(mesh, xx)
-        target_mels = mesh_mod.shard_batch(mesh, target_mels)
-        target_semvecs = mesh_mod.shard_batch(mesh, target_semvecs)
-
-    opt_state = init_batched_opt_state(xx, learning_rate_planning)
+    xx, opt_state, target_mels, target_semvecs = _prepare_batch(
+        paule_obj, target_mels, target_semvecs, mesh,
+        learning_rate_planning)
+    b = int(target_mels.shape[0])
     cons = engine.Constraints(smiling=paule_obj.smiling)
 
     @jax.jit
@@ -203,18 +200,21 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
     for ii_outer in range(n_outer):
         bundle = paule_obj._bundle()
         params_dynamic, models_static = engine.split_bundle(bundle)
+        # planning objective matches plan_resynth for the model's variant
+        # flags; produced-tube metrics are not logged in this batched API
         xx, opt_state, logs = plan_segment_batched(
             params_dynamic, models_static, xx, opt_state, target_mels,
             target_semvecs, paule_obj._next_rng(), n_steps=n_inner,
-            objective=objective, use_speech_classifier=False,
-            use_somatosensory=False, log_semantics=log_semantics,
+            objective=objective,
+            use_speech_classifier=paule_obj.use_speech_classifier,
+            use_somatosensory=paule_obj.use_somatosensory_feedback,
+            log_semantics=log_semantics,
             constraints=cons, lr=learning_rate_planning)
         sub_losses_all.append(jax.device_get(logs["sub_losses"]))
 
         cps = np.asarray(jax.device_get(xx), dtype=np.float64)
-        with cf.ThreadPoolExecutor(max_workers=8) as ex:
-            sigs = list(ex.map(
-                lambda cp: pool.speak(inv_normalize_cp(cp))[0], cps))
+        sigs = list(paule_obj._executor.map(
+            lambda cp: pool.speak(inv_normalize_cp(cp))[0], cps))
         sigs_arr = np.stack(sigs)
         host_dtype = np.float64 if dtype == jnp.float64 else np.float32
         prod_mels, prod_losses = prod_metrics(
@@ -230,13 +230,13 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
 
         if continue_learning:
             # shared predictive model trains on all produced pairs; batches
-            # keep the dp layout so gradients reduce over ICI
-            order = paule_obj._py_rng.sample(range(b), b)
+            # keep the dp layout so gradients reduce over ICI; every sample
+            # trains every epoch (leftover batches included), reshuffled
+            # per epoch
             for _ in range(n_epochs):
+                order = paule_obj._py_rng.sample(range(b), b)
                 for start in range(0, b, batch_size):
                     idx = order[start:start + batch_size]
-                    if len(idx) < 2:
-                        continue
                     bi = jnp.asarray(cps[idx], dtype=dtype)
                     bo = jnp.asarray(prod_mels_host[idx], dtype=dtype)
                     if mesh is not None and len(idx) % mesh.shape["dp"] == 0:

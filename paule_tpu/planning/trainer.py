@@ -183,27 +183,30 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
     if same_len:
         all_in = jnp.asarray(np.stack(inps).astype(dtype))
         all_out = jnp.asarray(np.stack(tgts).astype(dtype))
-        flat = [np.asarray(b, dtype=np.int32)
-                for ep in epoch_batches for b in ep]
-        sizes_per_epoch = [len(ep) for ep in epoch_batches]
-        # contiguous same-batch-size runs -> one compiled scan each
-        losses_parts = []
-        i = 0
-        while i < len(flat):
-            j = i
-            while j < len(flat) and len(flat[j]) == len(flat[i]):
-                j += 1
-            idx = np.stack(flat[i:j])  # (run, bs)
-            losses_parts.append(trainer.train_scan(all_in, all_out, idx))
-            i = j
-        losses = np.concatenate(
-            [np.atleast_1d(np.asarray(p)) for p in
-             jax.device_get(losses_parts)])
-        out, pos = [], 0
-        for n in sizes_per_epoch:
-            out.append(float(np.mean(losses[pos:pos + n])))
-            pos += n
-        return out
+        # Per epoch, the full-size batches form ONE fixed-shape scan (same
+        # compiled program every epoch); smaller leftover batches train as
+        # single steps (their shape is stable too), so the compile count is
+        # bounded by the number of distinct batch sizes — not by random run
+        # boundaries.  Within an epoch, full batches run before leftovers (a
+        # reordering of SGD steps; the epoch's batch order is random anyway).
+        epoch_parts = []  # per epoch: list of device loss arrays/scalars
+        for ep in epoch_batches:
+            full = [np.asarray(b, dtype=np.int32)
+                    for b in ep if len(b) == batch_size]
+            rest = [list(b) for b in ep if len(b) != batch_size]
+            parts = []
+            if full:
+                parts.append(trainer.train_scan(
+                    all_in, all_out, np.stack(full)))
+            for b in rest:
+                parts.append(trainer.train_batch(
+                    jnp.take(all_in, jnp.asarray(b), axis=0),
+                    jnp.take(all_out, jnp.asarray(b), axis=0)))
+            epoch_parts.append(parts)
+        host = jax.device_get(epoch_parts)  # one deferred sync point
+        return [float(np.mean(np.concatenate(
+                    [np.atleast_1d(np.asarray(p)) for p in parts])))
+                for parts in host]
 
     device_losses = []  # per-epoch lists of device scalars; fetched once
     for batches in epoch_batches:

@@ -37,9 +37,18 @@ def encode_array(arr):
             "shape": list(arr.shape), "dtype": "float32"}
 
 
+_DTYPES = {"float32": "<f4", "float64": "<f8"}
+
+
 def decode_array(obj):
     if isinstance(obj, dict) and "b64" in obj:
-        arr = np.frombuffer(base64.b64decode(obj["b64"]), dtype="<f4")
+        tag = obj.get("dtype", "float32")
+        if tag not in _DTYPES:
+            raise ValueError(
+                f"unsupported array dtype {tag!r}; use one of "
+                f"{sorted(_DTYPES)}")
+        arr = np.frombuffer(base64.b64decode(obj["b64"]),
+                            dtype=_DTYPES[tag])
         return arr.reshape(obj["shape"]).astype(np.float64)
     return np.asarray(obj, dtype=np.float64)
 
@@ -63,7 +72,6 @@ class PauleService:
                 "n_devices": len(jax.devices()), "version": __version__}
 
     def synthesize(self, payload):
-        from . import synth
         from .ops.normalize import inv_normalize_cp
 
         cp = decode_array(payload["cp"])
@@ -89,7 +97,12 @@ class PauleService:
             "learning_rate_planning", "learning_rate_learning",
             "log_semantics", "seed",
         }
-        kwargs = {k: v for k, v in payload.items() if k in allowed}
+        unknown = set(payload) - allowed
+        if unknown:
+            raise ValueError(
+                f"unknown plan parameters: {sorted(unknown)}; "
+                f"allowed: {sorted(allowed)}")
+        kwargs = dict(payload)
         with self._plan_lock:
             results = self.model.plan_resynth(
                 target_acoustic=(sig, sr), verbose=False, **kwargs)

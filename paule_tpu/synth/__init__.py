@@ -164,6 +164,15 @@ def _speak_and_extract_core(cp_param, c_entry):
     glottis = np.ascontiguousarray(cp[:, N_TRACT:])
 
     audio = np.zeros(max(0, (n_frames - 1)) * FRAME_STEPS, dtype=np.float64)
+    if n_frames == 0:
+        empty = np.zeros((0, N_TUBE_SECTIONS))
+        return audio, SAMPLE_RATE, {
+            "tube_length_cm": empty, "tube_area_cm2": empty,
+            "tube_articulator": np.zeros((0, N_TUBE_SECTIONS), dtype=object),
+            "incisor_pos_cm": np.zeros(0),
+            "tongue_tip_side_elevation": np.zeros(0),
+            "velum_opening_cm2": np.zeros(0),
+        }
     tube_length = np.zeros((n_frames, N_TUBE_SECTIONS))
     tube_area = np.zeros((n_frames, N_TUBE_SECTIONS))
     tube_articulator_idx = np.zeros((n_frames, N_TUBE_SECTIONS),

@@ -213,3 +213,29 @@ def test_fetch_packed_roundtrip():
     for x, y in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
         assert x.shape == y.shape
         assert (x == y).all()
+
+
+def test_train_epochs_leftover_batches():
+    """Same-length fast path with N not divisible by batch_size: leftover
+    batches still train and per-epoch losses aggregate over all steps."""
+    import jax
+    import jax.numpy as jnp
+    from paule_tpu.config import DTYPE
+    from paule_tpu.models import ForwardModel
+    from paule_tpu.planning.trainer import ModelTrainer, train_epochs
+    import numpy as np
+    import random
+
+    model = ForwardModel(num_lstm_layers=1, hidden_size=16)
+    params = model.init(jax.random.PRNGKey(0), DTYPE)
+    trainer = ModelTrainer(model, params, loss="rmse")
+    n = 9  # batch_size 4 -> batches [4, 4, 1] per epoch
+    rng = np.random.default_rng(0)
+    inps = [rng.normal(0, 0.3, (12, 30)) for _ in range(n)]
+    tgts = [rng.normal(0, 0.3, (6, 60)) for _ in range(n)]
+    losses = train_epochs(trainer, inps, tgts, [12] * n, batch_size=4,
+                          n_epochs=3, rng=random.Random(1),
+                          dtype=np.dtype(DTYPE))
+    assert len(losses) == 3
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]

@@ -86,3 +86,23 @@ def test_unknown_path(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         _post(server + "/nope", {})
     assert err.value.code == 404
+
+
+def test_bad_dtype_rejected(server):
+    import base64
+    arr = np.zeros((4, 30), dtype="<i4")
+    payload = {"cp": {"b64": base64.b64encode(arr.tobytes()).decode(),
+                      "shape": [4, 30], "dtype": "int32"}}
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/synthesize", payload)
+    assert err.value.code == 400
+
+
+def test_unknown_plan_key_rejected(server):
+    sig = np.zeros(4400)
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/plan",
+              {"signal": serve.encode_array(sig), "sample_rate": 44100,
+               "n_outter": 50})
+    assert err.value.code == 400
+    assert "n_outter" in err.value.read().decode()

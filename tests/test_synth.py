@@ -230,3 +230,11 @@ def test_synth_pool_matches_serial(neutral_cp):
     for w, g in zip(want, got):
         np.testing.assert_allclose(g, w, atol=1e-12)
     pool.close()
+
+
+def test_speak_and_extract_empty_trajectory():
+    audio, sr, tube = synth.speak_and_extract_tube_information(
+        np.zeros((0, 30)))
+    assert audio.shape == (0,)
+    assert tube["tube_area_cm2"].shape == (0, synth.N_TUBE_SECTIONS)
+    assert tube["incisor_pos_cm"].shape == (0,)
