@@ -138,31 +138,33 @@ def bench_torch(target):
     one_step(log=False)  # warmup
 
     # measure a few steps and extrapolate linearly (per-step cost is
-    # constant): N_MEASURE planning steps -> N_INNER, and N_MEASURE training
-    # batches -> N_EPOCHS * N_BATCHES
-    N_MEASURE = 3
-    t0 = time.perf_counter()
+    # constant): median per-step time resists transient machine contention
+    N_MEASURE = 5
+    step_times = []
     prod_mels, cps_list = [], []
     for _ in range(N_MEASURE):
+        t0 = time.perf_counter()
         pmel = one_step(log=True)
+        step_times.append(time.perf_counter() - t0)
         prod_mels.append(pmel)
         cps_list.append(xx[0].detach().numpy().copy())
-    t_plan = (time.perf_counter() - t0) / N_MEASURE * N_INNER
+    t_plan = float(np.median(step_times)) * N_INNER
 
     f_opt = torch.optim.Adam(fwd.parameters(), lr=0.001)
     idx_pool = list(range(len(cps_list)))
     rng = np.random.default_rng(0)
-    t0 = time.perf_counter()
+    train_times = []
     for _ in range(N_MEASURE):
         idx = rng.choice(idx_pool, size=BATCH_SIZE)
         bi = torch.from_numpy(np.stack([cps_list[i] for i in idx]))
         bo = torch.from_numpy(np.stack([prod_mels[i] for i in idx]))
+        t0 = time.perf_counter()
         f_opt.zero_grad()
         loss = rmse(fwd(bi), bo)
         loss.backward()
         f_opt.step()
-    t_train = ((time.perf_counter() - t0) / N_MEASURE
-               * N_EPOCHS * N_BATCHES)
+        train_times.append(time.perf_counter() - t0)
+    t_train = float(np.median(train_times)) * N_EPOCHS * N_BATCHES
     return t_plan + t_train
 
 
