@@ -68,7 +68,8 @@ class Paule:
                  use_speech_classifier=False, speech_classifier=None,
                  speech_classifier_optimizer=None,
                  pretrained_dir=None, seed=20200905, dtype=None,
-                 synthesis_async=True, speaker="default"):
+                 synthesis_async=True, synthesis_error="raise",
+                 speaker="default"):
         del device  # JAX manages device placement; kept for API parity
         del pred_optimizer, inv_optimizer, tube_optimizer  # created below
         del tube_mel_optimizer, speech_classifier_optimizer
@@ -84,6 +85,12 @@ class Paule:
         self.use_speech_classifier = use_speech_classifier
         self.use_somatosensory_feedback = use_somatosensory_feedback
         self.synthesis_async = synthesis_async
+        if synthesis_error not in ("raise", "skip"):
+            raise ValueError("synthesis_error must be 'raise' or 'skip'")
+        #: 'raise' propagates synthesizer errors (reference behavior);
+        #: 'skip' substitutes silence for a failed snapshot and keeps
+        #: planning (production isolation)
+        self.synthesis_error = synthesis_error
         self._py_rng = random.Random(seed)
         self._jax_rng = jax.random.PRNGKey(seed)
 
@@ -727,6 +734,9 @@ class Paule:
             }
             if want_semvec:
                 fetch["pred_semvec"] = seg_out["pred_semvec"][:, 0]
+            if verbose:
+                fetch["grad_max"] = seg_out["grad_max"]
+                fetch["grad_min"] = seg_out["grad_min"]
             if log_gradients:
                 fetch["grads"] = seg_out["grads"]
             host = jax.device_get(fetch)  # one transfer point for all steps' logs
@@ -758,6 +768,12 @@ class Paule:
                 seg_logs_ii["cp"].append(snapshots[s])
                 seg_logs_ii["pred_mel"].append(pred_mels[s])
                 if verbose:
+                    # gradient-magnitude warnings
+                    # (reference /root/reference/paule/paule.py:1056-1060)
+                    if host["grad_max"][s] > 10:
+                        print("WARNING: gradient is larger than 10")
+                    if host["grad_min"][s] < -10:
+                        print("WARNING: gradient is smaller than -10")
                     print(f"Iteration {s * log_ii + log_ii - 1}")
                     print("Planned Loss: ", float(subs.total[s]))
                     print("Mel Loss: ", float(subs.mel_loss[s]))
@@ -767,13 +783,29 @@ class Paule:
                           float(subs.local_linear_loss[s]))
 
             # ---- host synthesis of all logged snapshots (parallel) ----
-            if self.synthesis_async:
-                jobs = [self._executor.submit(self._synthesize, snapshots[s])
+            def run_jobs():
+                if self.synthesis_async:
+                    return [self._executor.submit(self._synthesize,
+                                                  snapshots[s]).result
+                            for s in range(n_segments)]
+                return [functools.partial(self._synthesize, snapshots[s])
                         for s in range(n_segments)]
-                syntheses = [j.result() for j in jobs]
-            else:
-                syntheses = [self._synthesize(snapshots[s])
-                             for s in range(n_segments)]
+
+            syntheses = []
+            for s, job in enumerate(run_jobs()):
+                try:
+                    syntheses.append(job())
+                except Exception as exc:  # noqa: BLE001
+                    if self.synthesis_error == "raise":
+                        raise
+                    print(f"WARNING: synthesis of snapshot {s} failed "
+                          f"({exc}); substituting silence")
+                    n_audio = max(0, (snapshots[s].shape[0] - 1)) * 110
+                    silent_tube = (np.zeros((snapshots[s].shape[0], 10))
+                                   if self.use_somatosensory_feedback
+                                   else None)
+                    syntheses.append((np.zeros(n_audio), 44100,
+                                      silent_tube))
             sigs = np.stack([s_[0] for s_ in syntheses])
             sr = syntheses[-1][1]
             sig = sigs[-1]

@@ -218,13 +218,16 @@ def plan_segment(params_dynamic, models_static, xx, opt_state, target_mel,
         updates, state = opt.update(grads, state)
         x_new = apply_constraints(optax.apply_updates(x, updates), xx_init,
                                   constraints)
-        return (x_new, state), (subs, x, pred_mel, pred_semvec, grads)
+        gext = (jnp.max(grads), jnp.min(grads))
+        return (x_new, state), (subs, x, pred_mel, pred_semvec, grads, gext)
 
     rngs = jax.random.split(rng, n_steps)
-    (xx_out, opt_state), (subs, xx_pre, pred_mels, pred_semvecs, grads) = \
+    (xx_out, opt_state), \
+        (subs, xx_pre, pred_mels, pred_semvecs, grads, gext) = \
         jax.lax.scan(step, (xx, opt_state), rngs)
     logs = {"sub_losses": subs, "xx_pre": xx_pre, "pred_mel": pred_mels,
-            "pred_semvec": pred_semvecs, "grads": grads}
+            "pred_semvec": pred_semvecs, "grads": grads,
+            "grad_max": gext[0], "grad_min": gext[1]}
     if log_every is not None:
         n_logged = n_steps // log_every
         idx = jnp.arange(n_logged) * log_every + (log_every - 1)

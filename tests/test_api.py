@@ -210,3 +210,33 @@ def test_visualize_results(tmp_path, paule_model, target):
     names = {f.name for f in tmp_path.iterdir()}
     assert {"t_mel.png", "t_planned.wav", "t_initial.wav", "t_target.wav",
             "t_loss.png", "t_loss_mel.png", "t_cps.png"} <= names
+
+
+def test_synthesis_error_skip(target, monkeypatch):
+    """synthesis_error='skip' substitutes silence for failed snapshots and
+    keeps planning; 'raise' (the default/reference behavior) propagates."""
+    p = Paule(seed=4, synthesis_error="skip")
+    calls = {"n": 0}
+    orig = p._synth_pool.speak
+
+    def flaky(cp):
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            raise ValueError("injected synthesizer failure")
+        return orig(cp)
+
+    monkeypatch.setattr(p._synth_pool, "speak", flaky)
+    r = p.plan_resynth(target_acoustic=target, objective="acoustic",
+                       initialize_from="acoustic", continue_learning=True,
+                       **TINY)
+    assert len(r.prod_loss_steps) == 2
+    assert all(np.isfinite(r.prod_loss_steps))
+
+    p2 = Paule(seed=4, synthesis_error="raise")
+    monkeypatch.setattr(
+        p2._synth_pool, "speak",
+        lambda cp: (_ for _ in ()).throw(ValueError("boom")))
+    with pytest.raises(ValueError):
+        p2.plan_resynth(target_acoustic=target, objective="acoustic",
+                        initialize_from="acoustic", continue_learning=False,
+                        **TINY)
