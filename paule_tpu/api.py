@@ -69,7 +69,7 @@ class Paule:
                  speech_classifier_optimizer=None,
                  pretrained_dir=None, seed=20200905, dtype=None,
                  synthesis_async=True, synthesis_error="raise",
-                 speaker="default"):
+                 physical_forward=False, speaker="default"):
         del device  # JAX manages device placement; kept for API parity
         del pred_optimizer, inv_optimizer, tube_optimizer  # created below
         del tube_mel_optimizer, speech_classifier_optimizer
@@ -102,11 +102,22 @@ class Paule:
 
         sd = self._load_pretrained(pretrained_dir)
 
-        # PREDictive MODEL (cp -> mel)
-        self.pred_model = ForwardModel(num_lstm_layers=1, hidden_size=720)
-        self.pred_params = (pred_model if pred_model is not None else
-                            sd.get("predictive") or
-                            self.pred_model.init(init_rng(), self.dtype))
+        # PREDictive MODEL (cp -> mel); with ``physical_forward=True`` the
+        # learned proxy is replaced by the differentiable spectral-domain
+        # articulatory model (paule_tpu.spectral) — planning through the
+        # physics, no pretrained weights needed
+        self.physical_forward = physical_forward
+        if physical_forward:
+            from .spectral import SpectralForwardModel
+
+            self.pred_model = SpectralForwardModel()
+            self.pred_params = {}
+        else:
+            self.pred_model = ForwardModel(num_lstm_layers=1,
+                                           hidden_size=720)
+            self.pred_params = (pred_model if pred_model is not None else
+                                sd.get("predictive") or
+                                self.pred_model.init(init_rng(), self.dtype))
 
         # INVerse MODEL (mel -> cp)
         self.inv_model = InverseModelMelTimeSmoothResidual(
@@ -1115,15 +1126,16 @@ class Paule:
             idx = self._py_rng.sample(range(len(produced)), k)
             return produced.iloc[idx].reset_index(drop=True)
 
-        # predictive model
+        # predictive model (the physical forward model has no parameters)
         training = sample_training(add_training_data_pred)
         lens_in = np.array([len(c) for c in training["cp_norm"]])
-        losses = trainer_mod.train_epochs(
-            self.pred_trainer, list(training["cp_norm"]),
-            list(training["melspec_norm_synthesized"]), lens_in,
-            batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
-            dtype=self.dtype)
-        logs["pred_model_loss"].extend(losses)
+        if not self.physical_forward:
+            losses = trainer_mod.train_epochs(
+                self.pred_trainer, list(training["cp_norm"]),
+                list(training["melspec_norm_synthesized"]), lens_in,
+                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
+                dtype=self.dtype)
+            logs["pred_model_loss"].extend(losses)
 
         if continue_learning_tube and self.use_somatosensory_feedback:
             tube_losses = trainer_mod.train_epochs(
