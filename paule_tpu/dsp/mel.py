@@ -126,6 +126,16 @@ def frame_signal(y, n_fft=N_FFT, hop=HOP):
     return y[idx]
 
 
+def amplitude_to_db(mel, dtype=jnp.float32):
+    """librosa-matched ``amplitude_to_db(..., ref=DB_REF)`` with top-db
+    clipping; shared by the STFT pipeline and the spectral-domain model."""
+    ref = jnp.asarray(DB_REF, dtype)
+    db = 20.0 * jnp.log10(jnp.maximum(mel, AMIN)) - 20.0 * jnp.log10(
+        jnp.maximum(ref, AMIN))
+    keep = tuple(range(db.ndim - 2, db.ndim))
+    return jnp.maximum(db, jnp.max(db, axis=keep, keepdims=True) - TOP_DB)
+
+
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def melspec_44100(y, *, dtype=jnp.float32):
     """Normalized-input pipeline: 44.1 kHz signal -> (frames, 60) log-mel dB.
@@ -143,13 +153,7 @@ def melspec_44100(y, *, dtype=jnp.float32):
 
     fb = jnp.asarray(mel_filterbank(), dtype=dtype)  # (n_bins, n_mels)
     mel = mag @ fb  # (F, n_mels)
-
-    ref = jnp.asarray(DB_REF, dtype=dtype)
-    db = 20.0 * jnp.log10(jnp.maximum(mel, AMIN)) - 20.0 * jnp.log10(
-        jnp.maximum(ref, AMIN)
-    )
-    db = jnp.maximum(db, db.max() - TOP_DB)
-    return db
+    return amplitude_to_db(mel, dtype)
 
 
 def librosa_melspec(wav, sample_rate):

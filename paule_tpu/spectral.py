@@ -38,8 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .config import DTYPE
-from .dsp.mel import (AMIN, DB_REF, N_FFT, SR, TOP_DB, mel_filterbank)
+from .dsp.mel import N_FFT, SR, amplitude_to_db, mel_filterbank
 from .ops.derivatives import half_sequence
 from .ops.normalize import (cp_theoretical_means, cp_theoretical_stds,
                             normalize_mel)
@@ -80,18 +79,13 @@ def _gauss(x, c, s):
     return jnp.exp(-0.5 * ((x - c) / s) ** 2)
 
 
-def _param_bounds():
+@functools.lru_cache(maxsize=1)
+def _bounds_cached():
     """Tract parameter (min, max) bounds of the default speaker."""
     from . import synth
 
     info = synth.get_param_info("tract")
     return np.asarray(info["mins"]), np.asarray(info["maxs"])
-
-
-@functools.lru_cache(maxsize=1)
-def _bounds_cached():
-    mins, maxs = _param_bounds()
-    return mins, maxs
 
 
 def tract_to_tube_jax(tract):
@@ -109,7 +103,8 @@ def tract_to_tube_jax(tract):
     length_cm = (BASE_LENGTH_CM + 0.5 * HX - 0.6 * (HY + 4.75)
                  + 0.8 * jnp.maximum(LP, 0.0) + 0.2 * jnp.minimum(LP, 0.0))
     jaw_open = (-JA) / 7.0
-    velum_open = jnp.maximum(VO, 0.0)
+    # (the C++ model also derives velum_open from VO for the nasal branch;
+    # the spectral model omits the nasal tract)
 
     c_body = 0.60 + 0.030 * TCX + 0.008 * JX
     p_body = jnp.clip((TCY + 3.0) / 4.0, 0.0, 1.1)
@@ -179,13 +174,13 @@ def tube_transfer_magnitude(areas, sec_len, freqs, *, min_area=1e-3):
     kl = (k_b - 1j * alpha).astype(dtype) * l_b
     z = (AIR_DENSITY * SPEED_OF_SOUND / a_b).astype(dtype)
 
-    cos_kl = jnp.cos(kl)
-    sin_kl = jnp.sin(kl)
-    # chain product over the 40 sections, glottis -> lips
+    # chain product over the 40 sections, glottis -> lips; cos/sin are taken
+    # per section inside the scan so peak memory is (..., K), not (..., K, 40)
     def section(carry, i):
         A, B, C, D = carry
-        c_ = cos_kl[..., i]
-        s_ = sin_kl[..., i]
+        kl_i = kl[..., i]
+        c_ = jnp.cos(kl_i)
+        s_ = jnp.sin(kl_i)
         z_ = z[..., i]
         A2 = A * c_ + B * (1j * s_ / z_)
         B2 = A * (1j * z_ * s_) + B * c_
@@ -271,11 +266,7 @@ class SpectralForwardModel:
 
         fb = jnp.asarray(self._fb, dtype)                    # (K, 60)
         mel = jnp.maximum(p, 0.0) @ fb                       # (B, T, 60)
-        db = 20.0 * jnp.log10(jnp.maximum(mel, AMIN)) \
-            - 20.0 * jnp.log10(jnp.asarray(DB_REF, dtype))
-        db = jnp.maximum(db, jnp.max(db, axis=(-2, -1), keepdims=True)
-                         - TOP_DB)
-        out = normalize_mel(db)
+        out = normalize_mel(amplitude_to_db(mel, dtype))
         t = out.shape[-2]
         return half_sequence(out[..., : (t // 2) * 2, :])
 
