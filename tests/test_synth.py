@@ -238,3 +238,64 @@ def test_speak_and_extract_empty_trajectory():
     assert audio.shape == (0,)
     assert tube["tube_area_cm2"].shape == (0, synth.N_TUBE_SECTIONS)
     assert tube["incisor_pos_cm"].shape == (0,)
+
+
+def test_synthesis_add_tube(neutral_cp):
+    """Direct tube-area synthesis (bypassing the tract model) produces
+    bounded audio for an open tube with voiced glottis."""
+    synth.initialize()
+    from paule_tpu.synth import _default
+    _default().pts_synthesis_reset()
+    areas = np.full(40, 3.0)
+    glottis = np.asarray(neutral_cp[19:], dtype=np.float64)
+    first = synth.synthesis_add_tube(0, areas, glottis)
+    assert first.shape == (0,)
+    out = synth.synthesis_add_tube(220, areas, glottis)
+    assert out.shape == (220,)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() < 10.0
+
+
+def test_input_tract_to_limited_tract():
+    wild = np.full(19, 100.0)
+    limited = synth.input_tract_to_limited_tract(wild)
+    info = synth.get_param_info("tract")
+    assert (limited <= info["maxs"] + 1e-9).all()
+    assert (limited >= info["mins"] - 1e-9).all()
+
+
+def test_calc_tongue_root_automatically(neutral_cp):
+    tract = np.asarray(neutral_cp[:19], dtype=np.float64).copy()
+    tract[8] = 1.0   # TCX
+    tract[9] = 0.5   # TCY
+    out = synth.calc_tongue_root_automatically(tract)
+    info = synth.get_param_info("tract")
+    # TRX/TRY re-coupled to the tongue body, within bounds
+    assert info["mins"][14] - 1e-9 <= out[14] <= info["maxs"][14] + 1e-9
+    assert info["mins"][15] - 1e-9 <= out[15] <= info["maxs"][15] + 1e-9
+
+
+def test_save_speaker_roundtrip(tmp_path):
+    path = str(tmp_path / "saved.speaker")
+    synth.save_speaker(path)
+    text = open(path).read()
+    assert "base_length_cm" in text
+    # a fresh pool can initialize from the saved speaker
+    pool = synth.SynthPool(size=1, speaker_path=path)
+    pool.close()
+
+
+def test_ges_to_audio_and_ema(tmp_path, neutral_cp):
+    seg = tmp_path / "w.seg"
+    seg.write_text("name = a; duration_s = 0.08;\n"
+                   "name = i; duration_s = 0.08;\n")
+    ges = tmp_path / "w.ges"
+    synth.seg_to_ges(str(seg), str(ges)) if hasattr(synth, "seg_to_ges") \
+        else synth._default().pts_segment_sequence_to_gestural_score(
+            str(seg).encode(), str(ges).encode())
+    audio, sr = synth.ges_to_audio(str(ges))
+    assert sr == 44100 and len(audio) > 1000
+    assert np.isfinite(audio).all()
+    synth.ges_to_ema_and_mesh(str(ges), "w", path=str(tmp_path))
+    import os
+    assert any("ema" in f for f in os.listdir(tmp_path))
