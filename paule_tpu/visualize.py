@@ -150,7 +150,7 @@ def visualize_results(results, condition="prefix", folder="data"):
     ax2.set_ylabel("optimized")
     ax3.set_ylabel("difference")
     ax1.legend()
-    fig.tight_layout()
+    # axes are placed manually (add_axes); tight_layout would warn
     fig.savefig(f"{base_name}_cps.png")
     plt.close(fig)
 
