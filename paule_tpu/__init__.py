@@ -23,7 +23,6 @@ Layer map (TPU-first redesign of the reference architecture, SURVEY.md §7):
 """
 
 import multiprocessing as mp
-import os
 import platform
 import sys
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from .config import DTYPE
 from . import synth
 from .dsp.audio import read as audio_read, stereo_to_mono
-from .dsp.mel import librosa_melspec, melspec_44100, SR as MEL_SR
+from .dsp.mel import librosa_melspec, melspec_44100
 from .dsp.griffinlim import mel_to_sig
 from .ops.normalize import (
     inv_normalize_cp, normalize_mel, normalize_tube)

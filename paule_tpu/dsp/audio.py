@@ -8,7 +8,6 @@ The reference uses ``soundfile`` (libsndfile) for this; soundfile is not part
 of this environment, and audio IO is not a performance path.
 """
 
-import io
 import os
 import shutil
 import struct

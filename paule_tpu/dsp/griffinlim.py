@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .mel import (
-    N_FFT, HOP, SR, AMIN, DB_REF, mel_filterbank, _hann_periodic,
+    N_FFT, HOP, SR, DB_REF, mel_filterbank, _hann_periodic,
 )
 from ..ops.normalize import inv_normalize_mel
 

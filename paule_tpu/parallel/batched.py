@@ -17,8 +17,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from ..planning import engine
 
 

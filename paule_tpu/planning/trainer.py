@@ -14,7 +14,6 @@ Mirrors the reference's training behavior
 * the replay buffer caps at 1000 rows by random resampling
 """
 
-import functools
 import random
 
 import numpy as np
