@@ -17,8 +17,9 @@ its *stationary* acoustics on device, end to end differentiable:
   agrees with.
 * the tube's frequency response uses lossy cylindrical-segment chain
   matrices (transmission-line acoustics) with a piston-in-baffle radiation
-  load — a frequency-domain approximation of the C++ Kelly-Lochbaum
-  waveguide (same tube, same topology minus the nasal branch and frication).
+  load and the nasal side branch as a velum-scaled shunt admittance at the
+  velar junction — a frequency-domain approximation of the C++
+  Kelly-Lochbaum waveguide (same tube, same topology minus frication).
 * the glottal source is a magnitude-only rolloff model (−12 dB/oct above
   the voice band, amplitude ∝ √pressure) — phase and jitter don't survive a
   mel magnitude representation anyway.
@@ -47,12 +48,13 @@ N_TUBE = 40
 SPEED_OF_SOUND = 35000.0  # cm/s
 AIR_DENSITY = 1.14e-3     # g/cm^3
 
-#: the time-domain waveguide delays one sample per section at 44.1 kHz, so
-#: its EFFECTIVE acoustic section length is fixed by the sample rate
-#: (synth/csrc/model.h kInternalSampleRate; length quantization is inherent
-#: to Kelly-Lochbaum lattices) — the spectral model matches the synthesizer
-#: by using this effective length, not the geometric one
-EFFECTIVE_SECTION_LEN_CM = SPEED_OF_SOUND / 44100.0
+#: the time-domain waveguide delays one sample per section at 44.1 kHz and
+#: quantizes the geometric tract length to an effective section count in
+#: [8, 40] (synth/csrc/model.cpp Waveguide::step); the spectral model uses
+#: the smooth (unquantized) equivalent so gradients flow through the length
+CM_PER_WAVEGUIDE_SECTION = SPEED_OF_SOUND / 44100.0
+MIN_TOTAL_LEN_CM = 8 * CM_PER_WAVEGUIDE_SECTION
+MAX_TOTAL_LEN_CM = N_TUBE * CM_PER_WAVEGUIDE_SECTION
 
 # ---------------------------------------------------------------------------
 # geometry constants (synth/csrc/model.cpp:253-260 — our own design)
@@ -74,6 +76,11 @@ _TAPER = np.clip((_X - 0.55) / 0.35, 0.0, 1.0)   # jaw taper
 
 BASE_LENGTH_CM = 16.0  # default speaker anatomy
 
+#: fixed nasal-branch area profile (synth/csrc/model.cpp Waveguide::step)
+_NASAL_AREAS = np.array([1.5, 2.2, 3.0, 3.6, 4.0, 4.0, 3.6, 3.0, 2.4, 2.0,
+                         1.6, 1.3, 1.1, 1.0])
+_VELAR_JUNCTION = int(0.48 * N_TUBE)  # section index of the nasal port
+
 
 def _gauss(x, c, s):
     return jnp.exp(-0.5 * ((x - c) / s) ** 2)
@@ -86,6 +93,13 @@ def _bounds_cached():
 
     info = synth.get_param_info("tract")
     return np.asarray(info["mins"]), np.asarray(info["maxs"])
+
+
+def velum_opening_jax(tract):
+    """Velum opening (cm², clipped like the C++ model) from tract params."""
+    mins, maxs = _bounds_cached()
+    vo = jnp.clip(tract[..., 7], mins[7], maxs[7])
+    return jnp.clip(jnp.maximum(vo, 0.0), 0.0, 1.0)
 
 
 def tract_to_tube_jax(tract):
@@ -152,13 +166,52 @@ def tract_to_tube_jax(tract):
 # tube acoustics: lossy cylindrical chain matrices + radiation load
 # ---------------------------------------------------------------------------
 
-def tube_transfer_magnitude(areas, sec_len, freqs, *, min_area=1e-3):
+def _radiation_impedance(area, freqs):
+    """Piston-in-baffle radiation impedance (low-ka form), numpy/jnp."""
+    r = (area / np.pi) ** 0.5
+    k = 2.0 * np.pi * freqs / SPEED_OF_SOUND
+    ka = k * r
+    return (AIR_DENSITY * SPEED_OF_SOUND / area) * \
+        (0.25 * ka ** 2 + 1j * 0.61 * ka)
+
+
+@functools.lru_cache(maxsize=4)
+def nasal_input_admittance(n_freqs, f_max):
+    """Input admittance Y(f) of the fixed nasal tract (chain matrix of the
+    14 waveguide nasal sections, nostril radiation load); host numpy,
+    computed once per frequency grid."""
+    freqs = np.linspace(0.0, f_max, n_freqs)
+    k = 2.0 * np.pi * freqs / SPEED_OF_SOUND
+    sec = CM_PER_WAVEGUIDE_SECTION
+    A = np.ones(n_freqs, complex)
+    B = np.zeros(n_freqs, complex)
+    C = np.zeros(n_freqs, complex)
+    D = np.ones(n_freqs, complex)
+    for a in _NASAL_AREAS:
+        radius = (a / np.pi) ** 0.5
+        alpha = 3.0e-5 * np.sqrt(np.maximum(freqs, 1.0)) / radius
+        kl = (k - 1j * alpha) * sec
+        z = AIR_DENSITY * SPEED_OF_SOUND / a
+        c_, s_ = np.cos(kl), np.sin(kl)
+        A, B, C, D = (A * c_ + B * (1j * s_ / z),
+                      A * (1j * z * s_) + B * c_,
+                      C * c_ + D * (1j * s_ / z),
+                      C * (1j * z * s_) + D * c_)
+    z_rad = _radiation_impedance(_NASAL_AREAS[-1], freqs)
+    y = (C * z_rad + D) / (A * z_rad + B)
+    return y.astype(np.complex64)
+
+
+def tube_transfer_magnitude(areas, sec_len, freqs, *, velum_open=None,
+                            f_max=SR / 2.0, min_area=1e-3):
     """|U_lips / U_glottis| of the 40-section tube at ``freqs`` (Hz).
 
     ``areas (..., 40)``, ``sec_len (...,)`` in cm.  Transmission-line chain:
     per segment ``[[cos(kl), j Z sin(kl)], [j sin(kl)/Z, cos(kl)]]`` with
     ``Z = ρc/A`` and viscothermal damping folded into a complex wavenumber;
-    terminated by a piston-in-baffle radiation impedance."""
+    terminated by a piston-in-baffle radiation impedance.  With
+    ``velum_open (...,)`` (cm²) the nasal tract couples in as a shunt
+    admittance at the velar junction, scaled by the port area."""
     dtype = jnp.complex64 if areas.dtype == jnp.float32 else jnp.complex128
     a = jnp.maximum(areas, min_area)                    # (..., 40)
     w = 2.0 * jnp.pi * freqs                            # (K,)
@@ -174,6 +227,16 @@ def tube_transfer_magnitude(areas, sec_len, freqs, *, min_area=1e-3):
     kl = (k_b - 1j * alpha).astype(dtype) * l_b
     z = (AIR_DENSITY * SPEED_OF_SOUND / a_b).astype(dtype)
 
+    if velum_open is not None:
+        # the admittance table is keyed by the static grid spec (jit-safe)
+        y_n = jnp.asarray(
+            nasal_input_admittance(int(freqs.shape[0]), float(f_max)),
+            dtype)
+        y_shunt = y_n * (jnp.maximum(velum_open, 0.0)
+                         / _NASAL_AREAS[0])[..., None].astype(dtype)
+    else:
+        y_shunt = None
+
     # chain product over the 40 sections, glottis -> lips; cos/sin are taken
     # per section inside the scan so peak memory is (..., K), not (..., K, 40)
     def section(carry, i):
@@ -186,6 +249,12 @@ def tube_transfer_magnitude(areas, sec_len, freqs, *, min_area=1e-3):
         B2 = A * (1j * z_ * s_) + B * c_
         C2 = C * c_ + D * (1j * s_ / z_)
         D2 = C * (1j * z_ * s_) + D * c_
+        if y_shunt is not None:
+            # nasal shunt between the velar section and the next one:
+            # M <- M @ [[1, 0], [Y, 1]]
+            at = (i == _VELAR_JUNCTION).astype(dtype)
+            A2 = A2 + at * B2 * y_shunt
+            C2 = C2 + at * D2 * y_shunt
         return (A2, B2, C2, D2), None
 
     ones = jnp.ones(kl.shape[:-1], dtype)
@@ -195,11 +264,7 @@ def tube_transfer_magnitude(areas, sec_len, freqs, *, min_area=1e-3):
 
     # radiation load at the lips (piston in infinite baffle, low-ka form)
     a_lip = jnp.maximum(areas[..., -1], min_area)[..., None]
-    r_lip = jnp.sqrt(a_lip / jnp.pi)
-    ka = k * r_lip
-    z_rad = (AIR_DENSITY * SPEED_OF_SOUND / a_lip) * \
-        (0.25 * ka ** 2 + 1j * 0.61 * ka)
-    z_rad = z_rad.astype(dtype)
+    z_rad = _radiation_impedance(a_lip, freqs).astype(dtype)
 
     # [p_g, U_g] = M [p_l, U_l], p_l = Z_rad U_l =>
     # U_g = (C Z_rad + D) U_l  =>  |H| = 1 / |C Z_rad + D|
@@ -227,8 +292,8 @@ def glottal_source_magnitude(glottis, freqs):
 
 #: overall gain calibrating the spectral model's dB range to the time-domain
 #: synthesizer's mel output (fitted once over random babbling trajectories:
-#: residual mean offset < 0.01 normalized-mel units, spread ~0.16)
-CALIBRATION_GAIN = 0.415
+#: residual mean offset < 0.01 normalized-mel units, spread ~0.15)
+CALIBRATION_GAIN = 0.645
 
 
 class SpectralForwardModel:
@@ -255,10 +320,12 @@ class SpectralForwardModel:
         glottis = cp[..., 19:]
 
         freqs = jnp.asarray(self._freqs, dtype)
-        areas, _geom_len = tract_to_tube_jax(tract)
-        sec_len = jnp.full(areas.shape[:-1], EFFECTIVE_SECTION_LEN_CM,
-                           dtype)
-        h = tube_transfer_magnitude(areas, sec_len, freqs)   # (B, T, K)
+        areas, geom_sec_len = tract_to_tube_jax(tract)
+        sec_len = jnp.clip(geom_sec_len * N_TUBE, MIN_TOTAL_LEN_CM,
+                           MAX_TOTAL_LEN_CM) / N_TUBE
+        h = tube_transfer_magnitude(
+            areas, sec_len, freqs,
+            velum_open=velum_opening_jax(tract))             # (B, T, K)
         s = glottal_source_magnitude(glottis, freqs)         # (B, T, K)
         # lip radiation differentiates the flow: |P| ~ f * |U|
         rad = jnp.asarray(self._freqs / SR, dtype)

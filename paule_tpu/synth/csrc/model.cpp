@@ -501,14 +501,35 @@ void Waveguide::reset() {
 }
 
 double Waveguide::step(const Tube& tube, double glottal_flow, double) {
-  constexpr int M = kTubeSections;
+  constexpr int kM = kTubeSections;
   constexpr double kAreaFloor = 1e-4;
   constexpr double kDamp = 0.996;
   constexpr double kGlottisRefl = 0.96;
   constexpr double kFlowScale = 4.0e-4;  // flow (cm^3/s) -> wave amplitude
+  constexpr double kC = 35000.0;         // speed of sound, cm/s
 
-  double A[M];
-  for (int i = 0; i < M; ++i) A[i] = std::max(tube.area_cm2[i], kAreaFloor);
+  // Each lattice section delays one sample, i.e. spans c/fs cm of tract.
+  // Quantizing the geometric tube length to an effective section count
+  // makes the length parameters (and speaker anatomy) acoustically real:
+  // a shorter tract uses fewer sections and all formants rise.
+  double total_cm = 0.0;
+  for (int i = 0; i < kM; ++i) total_cm += tube.length_cm[i];
+  constexpr double cm_per_section = kC / kInternalSampleRate;
+  int M = (int)std::lround(total_cm / cm_per_section);
+  if (M < 8) M = 8;
+  if (M > kM) M = kM;
+
+  // resample the 40 geometric sections onto the M acoustic sections
+  double A[kM];
+  for (int j = 0; j < M; ++j) {
+    double pos = (j + 0.5) / M * kM - 0.5;
+    int i0 = (int)std::floor(pos);
+    double t = pos - i0;
+    int ia = std::max(0, std::min(kM - 1, i0));
+    int ib = std::max(0, std::min(kM - 1, i0 + 1));
+    double a = (1.0 - t) * tube.area_cm2[ia] + t * tube.area_cm2[ib];
+    A[j] = std::max(a, kAreaFloor);
+  }
 
   // nasal branch geometry: smooth fixed profile, port area = velum opening
   constexpr int NN = kNasalSections;
@@ -517,7 +538,7 @@ double Waveguide::step(const Tube& tube, double glottal_flow, double) {
   const double a_port = tube.velum_opening_cm2;
   const int iv = (int)(0.48 * M);  // velar junction index
 
-  double newf[M], newb[M];
+  double newf[kM] = {0}, newb[kM] = {0};
 
   // source at the glottal end (pressure wave from glottal volume velocity)
   double src = glottal_flow * kFlowScale / std::sqrt(A[0]);

@@ -33,10 +33,15 @@ def test_transfer_function_formants_match_waveguide():
     """Resonance peaks of the chain-matrix tube line up with the
     time-domain waveguide's transfer function for the neutral tract."""
     neutral = np.asarray(cp_theoretical_means, float)
-    areas, _ = spectral.tract_to_tube_jax(jnp.asarray(neutral[:19]))
     freqs = jnp.linspace(0.0, 22050.0, 513)
-    sl = jnp.asarray(spectral.EFFECTIVE_SECTION_LEN_CM)
-    h = np.asarray(spectral.tube_transfer_magnitude(areas, sl, freqs))
+    areas, geom_sec_len = spectral.tract_to_tube_jax(
+        jnp.asarray(neutral[:19]))
+    sl = jnp.clip(geom_sec_len * spectral.N_TUBE,
+                  spectral.MIN_TOTAL_LEN_CM,
+                  spectral.MAX_TOTAL_LEN_CM) / spectral.N_TUBE
+    vo = spectral.velum_opening_jax(jnp.asarray(neutral[:19]))
+    h = np.asarray(spectral.tube_transfer_magnitude(areas, sl, freqs,
+                                                    velum_open=vo))
     mag = np.asarray(synth.get_transfer_function(neutral[:19], 513)[0])
     assert np.isfinite(h).all() and (h > 0).all()
 
