@@ -299,3 +299,54 @@ def test_ges_to_audio_and_ema(tmp_path, neutral_cp):
     synth.ges_to_ema_and_mesh(str(ges), "w", path=str(tmp_path))
     import os
     assert any("ema" in f for f in os.listdir(tmp_path))
+
+
+def test_child_speaker_raises_formants():
+    """Speaker anatomy is acoustically real: the shipped child speaker's
+    shorter tract raises the first formant."""
+    import os
+    from paule_tpu.ops.normalize import cp_theoretical_means
+
+    neutral = np.asarray(cp_theoretical_means, float)
+    f_axis = np.linspace(0.0, 22050.0, 513)
+
+    def f1(mag):
+        v = mag / mag.max()
+        for i in range(2, 120):
+            if v[i] > v[i - 1] and v[i] > v[i + 1] and v[i] > 0.05:
+                return f_axis[i]
+
+    synth.initialize()
+    adult = f1(np.asarray(synth.get_transfer_function(neutral[:19], 513)[0]))
+    child_path = os.path.join(os.path.dirname(synth.__file__), "speaker",
+                              "child.speaker")
+    synth.initialize(child_path)
+    try:
+        child = f1(np.asarray(
+            synth.get_transfer_function(neutral[:19], 513)[0]))
+    finally:
+        synth.initialize()  # restore the default speaker
+    assert child > adult * 1.05, (adult, child)
+
+
+def test_length_params_shift_formants():
+    """HX/HY tract-length parameters move the resonances (the waveguide
+    quantizes geometric length to its effective section count)."""
+    from paule_tpu.ops.normalize import cp_theoretical_means
+
+    neutral = np.asarray(cp_theoretical_means, float)
+    f_axis = np.linspace(0.0, 22050.0, 513)
+
+    def f1(mag):
+        v = mag / mag.max()
+        for i in range(2, 120):
+            if v[i] > v[i - 1] and v[i] > v[i + 1] and v[i] > 0.05:
+                return f_axis[i]
+
+    longer = neutral[:19].copy()
+    longer[0], longer[1] = 1.0, -6.0   # HX up, HY down -> longer tract
+    shorter = neutral[:19].copy()
+    shorter[0], shorter[1] = 0.0, -3.5
+    fl = f1(np.asarray(synth.get_transfer_function(longer, 513)[0]))
+    fs = f1(np.asarray(synth.get_transfer_function(shorter, 513)[0]))
+    assert fs > fl, (fl, fs)
