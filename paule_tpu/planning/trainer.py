@@ -82,7 +82,12 @@ class ModelTrainer:
         self.model = model
         self.params = params
         self.loss_kind = loss
-        self.optimizer = optax.adam(learning_rate)
+        # the learning rate rides in the optimizer state so it can change
+        # mid-session without touching the Adam moments (reference mutates
+        # param_groups['lr'] and keeps moments, paule.py:472-478) and
+        # without re-jitting the train step
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate)
         self.opt_state = self.optimizer.init(params)
         self._lr = learning_rate
         self._step = self._make_step()
@@ -90,10 +95,8 @@ class ModelTrainer:
     def set_learning_rate(self, lr):
         if lr is not None and lr != self._lr:
             self._lr = lr
-            self.optimizer = optax.adam(lr)
-            # keep first/second moments, reset only the schedule bookkeeping
-            self.opt_state = self.optimizer.init(self.params)
-            self._step = self._make_step()
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr, dtype=self.opt_state.hyperparams["learning_rate"].dtype)
 
     def _make_step(self):
         model = self.model

@@ -239,3 +239,48 @@ def test_train_epochs_leftover_batches():
     assert len(losses) == 3
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_set_learning_rate_keeps_adam_moments():
+    """Changing the learning rate mid-session must keep the Adam first/second
+    moments (reference mutates param_groups['lr'], paule.py:472-478)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from paule_tpu.config import DTYPE
+    from paule_tpu.models import ForwardModel
+    from paule_tpu.planning.trainer import ModelTrainer
+
+    model = ForwardModel(num_lstm_layers=1, hidden_size=16)
+    params = model.init(jax.random.PRNGKey(0), DTYPE)
+    trainer = ModelTrainer(model, params, loss="rmse")
+    rng = np.random.default_rng(0)
+    b_in = rng.normal(0, 0.3, (2, 12, 30)).astype(DTYPE)
+    b_out = rng.normal(0, 0.3, (2, 6, 60)).astype(DTYPE)
+    trainer.train_batch(b_in, b_out)
+
+    def moments(state):
+        # inject_hyperparams wraps the chain; find the ScaleByAdamState
+        for leaf in jax.tree_util.tree_leaves(
+                state, is_leaf=lambda x: hasattr(x, "mu")):
+            if hasattr(leaf, "mu"):
+                return leaf
+        raise AssertionError("no adam state found")
+
+    before = moments(trainer.opt_state)
+    mu_before = jax.device_get(before.mu)
+    assert int(before.count) == 1
+    assert any(np.abs(x).max() > 0 for x in jax.tree_util.tree_leaves(mu_before))
+
+    trainer.set_learning_rate(0.01)
+    after = moments(trainer.opt_state)
+    assert int(after.count) == 1  # step counter survives too
+    for x, y in zip(jax.tree_util.tree_leaves(mu_before),
+                    jax.tree_util.tree_leaves(jax.device_get(after.mu))):
+        np.testing.assert_array_equal(x, y)
+    assert float(trainer.opt_state.hyperparams["learning_rate"]) == 0.01
+
+    # and training continues without error / re-jit explosion
+    loss = trainer.train_batch(b_in, b_out)
+    assert np.isfinite(float(loss))
+    assert int(moments(trainer.opt_state).count) == 2
