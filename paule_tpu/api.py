@@ -179,6 +179,24 @@ class Paule:
             self.cp_tube_params = self.tube_mel_params = None
             self.tube_embedder_params = None
 
+        # Injected / converted parameters arrive as host numpy arrays (often
+        # float64 from torch conversion); committing them to device arrays in
+        # the session dtype once keeps jitted calls from re-uploading the
+        # full f64 pytrees through the (tunneled) host->device link per call.
+        def _cast(tree):
+            return None if tree is None else jax.tree.map(
+                lambda a: jnp.asarray(a, dtype=self.dtype), tree)
+
+        self.pred_params = _cast(self.pred_params)
+        self.inv_params = _cast(self.inv_params)
+        self.embedder_params = _cast(self.embedder_params)
+        self.cp_gen_params = _cast(self.cp_gen_params)
+        self.mel_gen_params = _cast(self.mel_gen_params)
+        self.speech_classifier_params = _cast(self.speech_classifier_params)
+        self.cp_tube_params = _cast(self.cp_tube_params)
+        self.tube_mel_params = _cast(self.tube_mel_params)
+        self.tube_embedder_params = _cast(self.tube_embedder_params)
+
         # trainers (keep optimizer state across plan_resynth calls, like the
         # reference's persistent torch optimizers)
         self.pred_trainer = trainer_mod.ModelTrainer(
@@ -353,19 +371,24 @@ class Paule:
         @functools.partial(jax.jit, static_argnames=("want_semvec",))
         def fn(params, sigs, snaps, prod_tubes, target_mel, target_semvec,
                *, want_semvec):
+            # targets may be a single row (1, ...) shared across all L
+            # snapshots (plan_resynth logging), or per-row (L, ...) when the
+            # rows are different utterances (parallel.batched planners)
             out = {}
             prod_mel = normalize_mel(jax.vmap(
                 lambda s_: melspec_44100(s_, dtype=dtype))(sigs))
             out["prod_mel"] = prod_mel  # (L, F, 60)
-            per_mel = jax.vmap(lambda m: L.rmse(m, target_mel[0]))
-            out["prod_loss"] = MEL_WEIGHT * per_mel(prod_mel)
+            tm = jnp.broadcast_to(target_mel, prod_mel.shape)
+            per_mel = jax.vmap(L.rmse)
+            out["prod_loss"] = MEL_WEIGHT * per_mel(prod_mel, tm)
             if want_semvec:
                 lens = jnp.full((prod_mel.shape[0],), prod_mel.shape[1])
                 prod_semvec = embedder.apply(params["embedder"], prod_mel,
                                              lens, deterministic=True)
                 out["prod_semvec"] = prod_semvec
+                ts = jnp.broadcast_to(target_semvec, prod_semvec.shape)
                 out["prod_semvec_loss"] = SEMANTIC_WEIGHT * jax.vmap(
-                    lambda v: L.rmse(v, target_semvec[0]))(prod_semvec)
+                    L.rmse)(prod_semvec, ts)
             if use_sc:
                 logits = sc.apply(params["speech_classifier"], prod_mel)
                 out["prod_sc_loss"] = SPEECH_CLASSIFIER_WEIGHT * jax.vmap(
@@ -381,7 +404,7 @@ class Paule:
                 out["prod_tube_loss"] = jax.vmap(L.rmse)(pred_tube,
                                                          prod_tubes)
                 out["prod_tube_mel_loss"] = (
-                    TUBE_MEL_WEIGHT * per_mel(prod_tube_mel))
+                    TUBE_MEL_WEIGHT * per_mel(prod_tube_mel, tm))
                 if want_semvec:
                     tl = jnp.full((prod_tubes.shape[0],),
                                   prod_tubes.shape[1])
@@ -389,9 +412,9 @@ class Paule:
                         params["tube_embedder"], prod_tubes, tl,
                         deterministic=True)
                     out["prod_tube_semvec"] = pts
+                    ts_t = jnp.broadcast_to(target_semvec, pts.shape)
                     out["prod_tube_semvec_loss"] = (
-                        TUBE_SEMANTIC_WEIGHT * jax.vmap(
-                            lambda v: L.rmse(v, target_semvec[0]))(pts))
+                        TUBE_SEMANTIC_WEIGHT * jax.vmap(L.rmse)(pts, ts_t))
             return out
 
         return fn
@@ -1111,10 +1134,35 @@ class Paule:
         if self.use_somatosensory_feedback:
             produced["tube_norm"] = seg_logs_ii["prod_tube"]
 
+        def _scarce_prints(header, k_total):
+            # informational prints mirror the reference
+            # (/root/reference/paule/paule.py:1255-1299)
+            n_train_batches = int(np.ceil(k_total / batch_size))
+            reduced_last_batch = k_total % batch_size
+            print(header)
+            if n_train_batches < n_batches:
+                print(f"Training on {n_train_batches} batches instead...")
+            if reduced_last_batch > 0:
+                print(f"Last batch reduced to {reduced_last_batch} samples "
+                      f"instead of {batch_size}...")
+            print(" ")
+
         def sample_training(add_training_data):
             if add_training_data and len(self.continue_data) > 0:
                 want = int(0.5 * batch_size) * n_batches
-                k = min(want, len(produced), len(self.continue_data))
+                if len(produced) < want:
+                    # scarce-data fallback (reference paule.py:1255-1266):
+                    # ALL produced samples + the same count of replay
+                    # samples -> 2n enhanced samples in ceil(2n/batch)
+                    # batches.  (The reference would raise if the replay
+                    # buffer held fewer than n rows; we clamp instead.)
+                    k = min(len(produced), len(self.continue_data))
+                    _scarce_prints(
+                        "Enhanced training data\n"
+                        f"Not enough data produced to fill 50% of "
+                        f"{n_batches} batches...", 2 * k)
+                else:
+                    k = want
                 prod_idx = self._py_rng.sample(range(len(produced)), k)
                 old = self.continue_data.sample(k)
                 mixed = pd.concat(
@@ -1123,6 +1171,11 @@ class Paule:
                 return mixed
             want = batch_size * n_batches
             k = min(want, len(produced))
+            if k < want:
+                _scarce_prints(
+                    "Produced training data\n"
+                    f"Not enough data produced to fill {n_batches} "
+                    "batches...", k)
             idx = self._py_rng.sample(range(len(produced)), k)
             return produced.iloc[idx].reset_index(drop=True)
 

@@ -146,6 +146,7 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
                        mesh=None, n_outer=5, n_inner=25,
                        learning_rate_planning=0.01, objective="acoustic",
                        log_semantics=False, continue_learning=True,
+                       continue_learning_tube=False,
                        n_epochs=2, batch_size=8, verbose=False):
     """Full batched planning loop: the data-parallel counterpart of
     ``Paule.plan_resynth`` for a corpus slice of same-length utterances.
@@ -157,19 +158,20 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
     1. one compiled batched scan of ``n_inner`` planning updates, the batch
        axis sharded over the mesh's dp axis (per-utterance Adam states);
     2. every utterance's current trajectory synthesizes concurrently on the
-       host pool; produced mels/losses come from one batched device program;
-    3. (optional) continue-learning: the shared predictive model trains on
-       ALL produced (trajectory, mel) pairs of this iteration, batches
-       sharded over dp.
+       host pool (with tube extraction for the somatosensory variant);
+       produced mels/semvecs/speech-classifier/tube metrics come from the
+       same jitted metrics program as ``plan_resynth``
+       (``Paule._prod_metrics``), with per-utterance targets;
+    3. (optional) continue-learning: the shared predictive model (and, with
+       ``continue_learning_tube``, the cp->tube and tube->mel models) trains
+       on ALL produced pairs of this iteration, batches sharded over dp.
 
     Returns a dict with planned trajectories, per-outer-iteration produced
-    losses (n_outer, B), per-step planned sub-losses, produced audio of the
-    final trajectories, and the continue-learning loss curve.
+    losses (n_outer, B) for every metric of the model's variant, per-step
+    planned sub-losses, produced audio of the final trajectories, and the
+    continue-learning loss curves.
     """
     from . import mesh as mesh_mod
-    from ..dsp.mel import melspec_44100
-    from ..ops import losses as L
-    from ..ops.normalize import inv_normalize_cp, normalize_mel
 
     if n_outer < 1:
         raise ValueError("n_outer must be >= 1")
@@ -180,75 +182,96 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
         learning_rate_planning)
     b = int(target_mels.shape[0])
     cons = engine.Constraints(smiling=paule_obj.smiling)
+    use_somato = paule_obj.use_somatosensory_feedback
+    want_semvec = log_semantics or objective in ("semvec", "acoustic_semvec")
 
-    @jax.jit
-    def prod_metrics(sigs, tmels):
-        mels = normalize_mel(jax.vmap(
-            lambda s: melspec_44100(s, dtype=dtype))(sigs))
-        losses = 5.0 * jax.vmap(lambda m, t: L.rmse(m, t))(mels, tmels)
-        return mels, losses
+    curves = {}  # metric name -> list of per-outer (B,) arrays
 
-    pool = paule_obj._synth_pool
-    prod_loss_curve = []
+    def log_curves(pm):
+        for key in ("prod_loss", "prod_semvec_loss", "prod_sc_loss",
+                    "prod_tube_loss", "prod_tube_mel_loss",
+                    "prod_tube_semvec_loss"):
+            if key in pm:
+                curves.setdefault(key, []).append(
+                    np.asarray(pm[key], dtype=np.float64))
+
     pred_model_loss = []
+    tube_model_loss = []
+    tube_mel_model_loss = []
     sub_losses_all = []
     sigs = None
     prod_mels_host = None
 
+    def train_shared(trainer, all_in, all_out, loss_log):
+        # batches keep the dp layout so gradients reduce over ICI; every
+        # sample trains every epoch (leftovers included), reshuffled
+        for _ in range(n_epochs):
+            order = paule_obj._py_rng.sample(range(b), b)
+            for start in range(0, b, batch_size):
+                idx = order[start:start + batch_size]
+                bi = jnp.asarray(all_in[idx], dtype=dtype)
+                bo = jnp.asarray(all_out[idx], dtype=dtype)
+                if mesh is not None and len(idx) % mesh.shape["dp"] == 0:
+                    bi = mesh_mod.shard_batch(mesh, bi)
+                    bo = mesh_mod.shard_batch(mesh, bo)
+                loss_log.append(trainer.train_batch(bi, bo))
+
     for ii_outer in range(n_outer):
         bundle = paule_obj._bundle()
         params_dynamic, models_static = engine.split_bundle(bundle)
-        # planning objective matches plan_resynth for the model's variant
-        # flags; produced-tube metrics are not logged in this batched API
         xx, opt_state, logs = plan_segment_batched(
             params_dynamic, models_static, xx, opt_state, target_mels,
             target_semvecs, paule_obj._next_rng(), n_steps=n_inner,
             objective=objective,
             use_speech_classifier=paule_obj.use_speech_classifier,
-            use_somatosensory=paule_obj.use_somatosensory_feedback,
+            use_somatosensory=use_somato,
             log_semantics=log_semantics,
             constraints=cons, lr=learning_rate_planning)
         sub_losses_all.append(jax.device_get(logs["sub_losses"]))
 
         cps = np.asarray(jax.device_get(xx), dtype=np.float64)
-        sigs = list(paule_obj._executor.map(
-            lambda cp: pool.speak(inv_normalize_cp(cp))[0], cps))
-        sigs_arr = np.stack(sigs)
-        host_dtype = np.float64 if dtype == jnp.float64 else np.float32
-        prod_mels, prod_losses = prod_metrics(
-            jnp.asarray(sigs_arr.astype(host_dtype)), target_mels)
-        prod_losses = np.asarray(jax.device_get(prod_losses))
-        prod_loss_curve.append(prod_losses)
-        prod_mels_host = np.asarray(jax.device_get(prod_mels),
-                                    dtype=np.float64)
+        results = list(paule_obj._executor.map(paule_obj._synthesize, cps))
+        sigs = [sig for sig, _sr, _tube in results]
+        prod_tubes = (np.stack([tube for _s, _r, tube in results])
+                      if use_somato else None)
+        pm = paule_obj._prod_metrics(
+            np.stack(sigs), xx, prod_tubes, target_mels, target_semvecs,
+            want_semvec)
+        log_curves(pm)
+        prod_mels_host = np.asarray(pm["prod_mel"], dtype=np.float64)
         if verbose:
+            prod_losses = curves["prod_loss"][-1]
             print(f"outer {ii_outer}: prod loss "
                   f"mean {prod_losses.mean():.4f} "
                   f"max {prod_losses.max():.4f}")
 
         if continue_learning:
-            # shared predictive model trains on all produced pairs; batches
-            # keep the dp layout so gradients reduce over ICI; every sample
-            # trains every epoch (leftover batches included), reshuffled
-            # per epoch
-            for _ in range(n_epochs):
-                order = paule_obj._py_rng.sample(range(b), b)
-                for start in range(0, b, batch_size):
-                    idx = order[start:start + batch_size]
-                    bi = jnp.asarray(cps[idx], dtype=dtype)
-                    bo = jnp.asarray(prod_mels_host[idx], dtype=dtype)
-                    if mesh is not None and len(idx) % mesh.shape["dp"] == 0:
-                        bi = mesh_mod.shard_batch(mesh, bi)
-                        bo = mesh_mod.shard_batch(mesh, bo)
-                    loss = paule_obj.pred_trainer.train_batch(bi, bo)
-                    pred_model_loss.append(loss)
-    pred_model_loss = [float(l) for l in jax.device_get(pred_model_loss)]
+            train_shared(paule_obj.pred_trainer, cps, prod_mels_host,
+                         pred_model_loss)
+            if continue_learning_tube and use_somato:
+                train_shared(paule_obj.tube_trainer, cps, prod_tubes,
+                             tube_model_loss)
+                train_shared(paule_obj.tube_mel_trainer, prod_tubes,
+                             prod_mels_host, tube_mel_model_loss)
 
-    return {
+    out = {
         "planned_cp": np.asarray(jax.device_get(xx), dtype=np.float64),
         "prod_sigs": sigs,
         "prod_mels": prod_mels_host,
-        "prod_loss_curve": np.stack(prod_loss_curve),
+        "prod_loss_curve": np.stack(curves["prod_loss"]),
         "sub_losses": sub_losses_all,
-        "pred_model_loss": pred_model_loss,
+        "pred_model_loss": [float(l) for l in
+                            jax.device_get(pred_model_loss)],
     }
+    for key in ("prod_semvec_loss", "prod_sc_loss", "prod_tube_loss",
+                "prod_tube_mel_loss", "prod_tube_semvec_loss"):
+        if key in curves:
+            out[f"{key}_curve"] = np.stack(curves[key])
+    if use_somato:
+        out["prod_tubes"] = prod_tubes
+        if continue_learning_tube:
+            out["tube_model_loss"] = [float(l) for l in
+                                      jax.device_get(tube_model_loss)]
+            out["tube_mel_model_loss"] = [
+                float(l) for l in jax.device_get(tube_mel_model_loss)]
+    return out

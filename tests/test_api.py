@@ -240,3 +240,82 @@ def test_synthesis_error_skip(target, monkeypatch):
         p2.plan_resynth(target_acoustic=target, objective="acoustic",
                         initialize_from="acoustic", continue_learning=False,
                         **TINY)
+
+
+def test_scarce_data_continue_learning_fallback(paule_model, monkeypatch,
+                                                capsys):
+    """Scarce-data fallback (reference paule.py:1253-1301): with mixing on
+    and produced < 0.5*batch_size*n_batches, ALL n produced samples plus n
+    replay samples train (2n enhanced samples); without mixing and produced
+    < batch_size*n_batches, all n produced samples train.  The reference's
+    informational prints appear in both regimes."""
+    import jax.numpy as jnp
+    import pandas as pd
+    from paule_tpu.planning.trainer import ReplayBuffer
+    from paule_tpu import api as api_mod
+
+    captured = []
+
+    def fake_train_epochs(trainer, inps, tgts, lens_in, **kw):
+        captured.append(len(inps))
+        return [0.0]
+
+    monkeypatch.setattr(api_mod.trainer_mod, "train_epochs",
+                        fake_train_epochs)
+
+    n_prod = 2
+    seg_logs_ii = {
+        "cp": [np.zeros((10, 30)) for _ in range(n_prod)],
+        "prod_mel": [np.zeros((5, 60)) for _ in range(n_prod)],
+        "prod_tube": [],
+    }
+    tsem = jnp.zeros((1, 300))
+    logs = {"pred_model_loss": [], "inv_model_loss": [],
+            "tube_model_loss": [], "tube_mel_model_loss": []}
+    kw = dict(continue_learning_inv=False, continue_learning_tube=False,
+              add_training_data_inv=False, n_batches=3, batch_size=4,
+              n_epochs=1)
+
+    replay = pd.DataFrame({
+        "vector": [np.zeros(300)] * 5,
+        "cp_norm": [np.zeros((10, 30))] * 5,
+        "melspec_norm_synthesized": [np.zeros((5, 60))] * 5,
+        "tube_norm": [None] * 5,
+        "segment_data": [False] * 5,
+    })
+    old_buffer = paule_model.continue_data
+    try:
+        # mixing path, scarce: n_prod=2 < 0.5*4*3=6 -> 2n=4 samples
+        paule_model.continue_data = ReplayBuffer(
+            replay.copy(), rng=paule_model._py_rng)
+        paule_model._continue_learning(seg_logs_ii, tsem, logs,
+                                       add_training_data_pred=True, **kw)
+        assert captured[-1] == 2 * n_prod
+        out = capsys.readouterr().out
+        assert "Enhanced training data" in out
+        assert "Not enough data produced to fill 50% of 3 batches..." in out
+        assert "Training on 1 batches instead..." in out
+
+        # non-mixing path, scarce: n_prod=2 < 4*3=12 -> all 2 samples
+        paule_model.continue_data = ReplayBuffer(None,
+                                                 rng=paule_model._py_rng)
+        paule_model._continue_learning(seg_logs_ii, tsem, logs,
+                                       add_training_data_pred=False, **kw)
+        assert captured[-1] == n_prod
+        out = capsys.readouterr().out
+        assert "Produced training data" in out
+        assert "Not enough data produced to fill 3 batches..." in out
+        assert "Last batch reduced to 2 samples instead of 4..." in out
+
+        # abundant non-mixing: 30 produced >= 12 -> exactly 12, no prints
+        seg_big = {
+            "cp": [np.zeros((10, 30)) for _ in range(30)],
+            "prod_mel": [np.zeros((5, 60)) for _ in range(30)],
+            "prod_tube": [],
+        }
+        paule_model._continue_learning(seg_big, tsem, logs,
+                                       add_training_data_pred=False, **kw)
+        assert captured[-1] == 12
+        assert "Not enough" not in capsys.readouterr().out
+    finally:
+        paule_model.continue_data = old_buffer

@@ -150,3 +150,65 @@ def test_plan_batch_resynth_dp():
     last = out["sub_losses"][-1].total[-1]
     assert (last < first).all()
     assert len(out["prod_sigs"]) == 8
+
+
+def test_plan_batch_resynth_somatosensory_metrics():
+    """The batched planner logs the full somatosensory metric set (produced
+    tube/tube-mel/tube-semvec losses) and can train the tube models — parity
+    with the per-variant metrics of Paule.plan_resynth."""
+    import numpy as np
+    from paule_tpu.api import Paule
+    from paule_tpu import synth
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
+
+    synth.initialize()
+    p = Paule(seed=12, use_somatosensory_feedback=True)
+    rng = np.random.default_rng(4)
+    tmels = []
+    for _ in range(2):
+        cp = np.clip(rng.normal(0, 0.1, (24, 30)).cumsum(0) * 0.1, -1, 1)
+        sig, sr = synth.speak(inv_normalize_cp(cp))
+        tmels.append(normalize_mel(librosa_melspec(sig, sr)))
+    tmels = np.stack(tmels)
+
+    out = batched.plan_batch_resynth(
+        p, tmels, n_outer=1, n_inner=2, objective="acoustic_semvec",
+        continue_learning=True, continue_learning_tube=True, n_epochs=1,
+        batch_size=2)
+    assert out["prod_loss_curve"].shape == (1, 2)
+    for key in ("prod_semvec_loss_curve", "prod_tube_loss_curve",
+                "prod_tube_mel_loss_curve", "prod_tube_semvec_loss_curve"):
+        assert key in out, key
+        assert out[key].shape == (1, 2)
+        assert np.isfinite(out[key]).all()
+    assert out["prod_tubes"].shape == (2, 24, 10)
+    assert len(out["tube_model_loss"]) >= 1
+    assert len(out["tube_mel_model_loss"]) >= 1
+    assert all(np.isfinite(out["tube_model_loss"]))
+
+
+def test_plan_batch_resynth_speech_classifier_metrics():
+    """Speech-classifier produced metrics are logged in the batched path."""
+    import numpy as np
+    from paule_tpu.api import Paule
+    from paule_tpu import synth
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
+
+    synth.initialize()
+    p = Paule(seed=13, use_speech_classifier=True)
+    rng = np.random.default_rng(5)
+    tmels = []
+    for _ in range(2):
+        cp = np.clip(rng.normal(0, 0.1, (24, 30)).cumsum(0) * 0.1, -1, 1)
+        sig, sr = synth.speak(inv_normalize_cp(cp))
+        tmels.append(normalize_mel(librosa_melspec(sig, sr)))
+    tmels = np.stack(tmels)
+
+    out = batched.plan_batch_resynth(
+        p, tmels, n_outer=1, n_inner=2, objective="acoustic",
+        continue_learning=False)
+    assert "prod_sc_loss_curve" in out
+    assert out["prod_sc_loss_curve"].shape == (1, 2)
+    assert np.isfinite(out["prod_sc_loss_curve"]).all()
