@@ -5,8 +5,11 @@ unimplemented stub (/root/reference/paule/paule.py:383-388).  This is the
 real implementation — our one deliberate capability extension, since the API
 already promises it (SURVEY.md §7 build order step 7):
 
-* the target is split into chunks of ``chunk_size`` mel frames;
-* each chunk is planned with ``plan_resynth``, conditioning on the last
+* an acoustic target is split into chunks of ``chunk_size`` mel frames; a
+  semvec-only target is a sequence of words, each a (300,) embedding with a
+  mel-frame length — every word plans against its mel-GAN generated target
+  mel (the plan_resynth semvec-only path, reference paule.py:515-522);
+* each chunk/word is planned with ``plan_resynth``, conditioning on the last
   ``overlap`` cp frames of the previously planned audio via ``past_cp`` (the
   reference's own continuation mechanism, paule.py:575-583);
 * planned chunks are stitched (the conditioned prefix is dropped).
@@ -37,8 +40,9 @@ def plan_iterative(paule_obj, *, target_acoustic=None, target_semvecs=None,
         raise ValueError(
             "Either target_acoustic or target_semvecs has to be not None.")
 
-    # build the full normalized target mel
+    # per-chunk plan_resynth target kwargs
     if target_acoustic is not None:
+        # acoustic target: build the full normalized mel and chunk it
         if isinstance(target_acoustic, str):
             sig, sr = audio_read(target_acoustic)
             if sig.ndim == 2:
@@ -47,31 +51,48 @@ def plan_iterative(paule_obj, *, target_acoustic=None, target_semvecs=None,
             sig, sr = target_acoustic
         mel = normalize_mel(librosa_melspec(sig, sr))
         mel -= mel.min()
-    else:
-        raise NotImplementedError(
-            "iterative planning currently requires target acoustics; for "
-            "semvec-only targets call plan_resynth per word")
 
-    n_frames = mel.shape[0]
-    chunks = []
-    start = 0
-    while start < n_frames:
-        end = min(start + chunk_size, n_frames)
-        if n_frames - end < chunk_size // 4 and end < n_frames:
-            end = n_frames  # absorb a tiny tail into the last chunk
-        chunks.append((start, end))
-        start = end
+        n_frames = mel.shape[0]
+        chunks = []
+        start = 0
+        while start < n_frames:
+            end = min(start + chunk_size, n_frames)
+            if n_frames - end < chunk_size // 4 and end < n_frames:
+                end = n_frames  # absorb a tiny tail into the last chunk
+            chunks.append((start, end))
+            start = end
+        targets = [{"target_acoustic": mel[a:b]} for (a, b) in chunks]
+    else:
+        # semvec-only: one chunk per word; plan_resynth generates each
+        # word's target mel with the mel GAN (reference paule.py:515-522)
+        target_semvecs = np.asarray(target_semvecs)
+        if target_semvecs.ndim == 1:
+            target_semvecs = target_semvecs[None]
+        if target_seq_lengths is None:
+            raise ValueError(
+                "semvec-only iterative planning needs target_seq_lengths "
+                "(mel frames per word)")
+        target_seq_lengths = np.atleast_1d(np.asarray(target_seq_lengths))
+        if len(target_seq_lengths) != len(target_semvecs):
+            raise ValueError(
+                "target_semvecs and target_seq_lengths must have the same "
+                "length")
+        targets = [
+            {"target_acoustic": None, "target_semvec": sv,
+             "target_seq_length": int(length)}
+            for sv, length in zip(target_semvecs, target_seq_lengths)
+        ]
+        kwargs.setdefault("objective", "acoustic_semvec")
 
     results = []
     planned_parts = []
     past_cp = None
     kwargs.setdefault("verbose", False)
     kwargs.pop("initialize_from", None)
-    for (a, b) in chunks:
-        chunk_mel = mel[a:b]
+    for target_kwargs in targets:
         res = paule_obj.plan_resynth(
-            target_acoustic=chunk_mel, past_cp=past_cp,
-            initialize_from="acoustic", **kwargs)
+            past_cp=past_cp, initialize_from="acoustic",
+            **target_kwargs, **kwargs)
         results.append(res)
         planned = res.planned_cp
         past_len = 0 if past_cp is None else past_cp.shape[0]

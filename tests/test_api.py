@@ -201,6 +201,26 @@ def test_plan_iterative(paule_model, target):
     assert planned_cp.shape[0] == 2 * total_frames
 
 
+def test_plan_iterative_semvec_only(paule_model):
+    """Semvec-only iterative planning: a sequence of (semvec, length) words,
+    each planned against its mel-GAN target, stitched with past_cp overlap."""
+    rng = np.random.default_rng(7)
+    semvecs = rng.normal(0, 0.1, (2, 300))
+    lengths = [12, 16]
+    planned_cp, results = paule_model.plan_iterative(
+        target_semvecs=semvecs, target_seq_lengths=lengths, overlap=4,
+        objective="acoustic_semvec", n_outer=1, n_inner=2, log_ii=1,
+        continue_learning=False, n_batches=1, batch_size=2, n_epochs=1)
+    assert len(results) == 2
+    assert planned_cp.shape == (2 * sum(lengths), 30)
+    assert np.isfinite(planned_cp).all()
+    # second word conditioned on the first: its target includes the overlap
+    assert results[1].target_mel.shape[0] == lengths[1] + 2
+
+    with pytest.raises(ValueError, match="target_seq_lengths"):
+        paule_model.plan_iterative(target_semvecs=semvecs, overlap=4)
+
+
 def test_visualize_results(tmp_path, paule_model, target):
     res = paule_model.plan_resynth(target_acoustic=target,
                                    objective="acoustic", **TINY)
