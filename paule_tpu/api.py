@@ -216,6 +216,8 @@ class Paule:
         self.best_synthesis_semantic = None
         if self.use_somatosensory_feedback:
             self.best_synthesis_somatosensory = None
+        #: per-phase wall-clock split of the most recent plan_resynth
+        self.last_planning_timings = None
 
         n_workers = min(8, os.cpu_count() or 2)
         self._synth_pool = synth.SynthPool(size=n_workers,
@@ -722,6 +724,12 @@ class Paule:
         pred_mel_last = initial_pred_mel
 
         start_time = time.time()
+        # per-phase wall-clock split (beyond the reference's single final
+        # print): planning scan+log fetch / host synthesis / produced-audio
+        # metrics / continue-learning.  Exposed as
+        # ``self.last_planning_timings`` after the run.
+        timings = {"planning": 0.0, "synthesis": 0.0, "metrics": 0.0,
+                   "continue_learning": 0.0}
         # tqdm progress on the outer loop, like the reference
         # (/root/reference/paule/paule.py:894); falls back silently
         try:
@@ -741,6 +749,7 @@ class Paule:
             bundle = self._bundle()
             params_dynamic, models_static = engine.split_bundle(bundle)
 
+            _t0 = time.perf_counter()
             # ---- ONE compiled scan for the whole outer iteration ----
             # (n_inner steps; per-step snapshots/sub-losses come back from
             # the scan, so planning needs a single device round-trip per
@@ -816,6 +825,9 @@ class Paule:
                     print("Local Linear Loss: ",
                           float(subs.local_linear_loss[s]))
 
+            timings["planning"] += time.perf_counter() - _t0
+            _t0 = time.perf_counter()
+
             # ---- host synthesis of all logged snapshots (parallel) ----
             def run_jobs():
                 if self.synthesis_async:
@@ -848,6 +860,9 @@ class Paule:
                 prod_tubes = np.stack([s_[2] for s_ in syntheses])
             if log_signals:
                 logs["sig_steps"].extend(list(sigs))
+
+            timings["synthesis"] += time.perf_counter() - _t0
+            _t0 = time.perf_counter()
 
             # ---- produced-audio metrics: one batched program + one fetch --
             pm = self._prod_metrics(sigs, snaps_dev, prod_tubes,
@@ -990,8 +1005,11 @@ class Paule:
                 logs["prod_tube_semvec_steps"].append(
                     seg_logs_ii["prod_tube_semvec"])
 
+            timings["metrics"] += time.perf_counter() - _t0
+
             # ---------------- continue learning ----------------
             if continue_learning and seg_logs_ii["cp"]:
+                _t0 = time.perf_counter()
                 self._continue_learning(
                     seg_logs_ii, target_semvec_dev, logs,
                     continue_learning_inv=continue_learning_inv,
@@ -1000,6 +1018,7 @@ class Paule:
                     add_training_data_inv=add_training_data_inv,
                     n_batches=n_batches, batch_size=batch_size,
                     n_epochs=n_epochs)
+                timings["continue_learning"] += time.perf_counter() - _t0
 
         # ---------------- Phase F: final results ----------------
         planned_cp = _to_np(xx[0])
@@ -1050,7 +1069,12 @@ class Paule:
                 "pred_tube_semvec": final_host["pred_tube_semvec"],
             }
 
-        print("--- %.2f min ---" % ((time.time() - start_time) / 60))
+        timings["total"] = time.time() - start_time
+        self.last_planning_timings = timings
+        print("--- %.2f min ---" % (timings["total"] / 60))
+        if verbose:
+            split = {k: round(v, 3) for k, v in timings.items()}
+            print("phase timings (s):", split)
 
         if self.use_speech_classifier:
             return PlanningResultsWithSpeechClassifier(

@@ -339,3 +339,19 @@ def test_scarce_data_continue_learning_fallback(paule_model, monkeypatch,
         assert "Not enough" not in capsys.readouterr().out
     finally:
         paule_model.continue_data = old_buffer
+
+
+def test_per_phase_timings(paule_model, target):
+    """plan_resynth records a per-phase wall-clock split (planning scan /
+    host synthesis / produced metrics / continue-learning)."""
+    paule_model.plan_resynth(target_acoustic=target, objective="acoustic",
+                             continue_learning=True, **TINY)
+    t = paule_model.last_planning_timings
+    assert set(t) == {"planning", "synthesis", "metrics",
+                      "continue_learning", "total"}
+    assert all(v >= 0.0 for v in t.values())
+    assert t["planning"] > 0 and t["synthesis"] > 0 and t["metrics"] > 0
+    assert t["continue_learning"] > 0
+    phases = (t["planning"] + t["synthesis"] + t["metrics"]
+              + t["continue_learning"])
+    assert phases <= t["total"] + 1e-6

@@ -200,21 +200,6 @@ def test_lstm_jit_and_grad():
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_fetch_packed_roundtrip():
-    import jax
-    import jax.numpy as jnp
-    from paule_tpu.ops.hostsync import fetch_packed
-
-    tree = {"a": jnp.arange(6.0).reshape(2, 3),
-            "b": (jnp.ones(4), jnp.asarray(2.5)),
-            "c": [jnp.zeros((3, 1, 2))]}
-    out = fetch_packed(tree)
-    ref = jax.device_get(tree)
-    for x, y in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
-        assert x.shape == y.shape
-        assert (x == y).all()
-
-
 def test_train_epochs_leftover_batches():
     """Same-length fast path with N not divisible by batch_size: leftover
     batches still train and per-epoch losses aggregate over all steps."""
