@@ -36,6 +36,10 @@ def build(force=False, verbose=False):
     os.makedirs(BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-std=c++17", "-O3", "-fPIC", "-shared",
+        # library is built per machine on first use (gitignored), so native
+        # codegen is safe; -fno-math-errno lets sqrt inline to the hardware
+        # instruction (the per-sample loop carries several sqrts)
+        "-march=native", "-fno-math-errno",
         "-Wall", "-Wextra",
         *(os.path.join(CSRC, s) for s in SOURCES),
         "-o", LIB_PATH,

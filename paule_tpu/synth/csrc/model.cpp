@@ -430,23 +430,38 @@ void GlottisState::reset() {
   asp_lp = 0.0;
 }
 
-double GlottisState::step(const Speaker& spk, const double* gp,
-                          double* area_out) {
+void GlottisState::prepare(const Speaker& spk, const double* gp) {
   const double F0 = clampd(gp[0], 0.0, 600.0);
   const double PR = std::max(gp[1], 0.0);
   const double XB = gp[2], XT = gp[3];
   const double CA = gp[4], LAG = gp[5], RA = gp[6], DP = gp[7], PS = gp[8],
                FL = gp[9], AS = gp[10];
 
-  // flutter: slow quasi-random f0 modulation (Klatt-style three-sine)
+  // flutter: slow quasi-random f0 modulation (Klatt-style three-sine);
+  // 4.7-12.7 Hz, so sampling it once per control block is exact enough
   double t = (double)pulse_index / std::max(F0, 1.0) +
              phase / std::max(F0, 1.0);
   double flut = (FL / 50.0) * 0.01 *
                 (std::sin(2 * M_PI * 12.7 * t) + std::sin(2 * M_PI * 7.1 * t) +
                  std::sin(2 * M_PI * 4.7 * t)) / 3.0;
-  double f0 = F0 * (1.0 + flut);
+  f0_eff_ = F0 * (1.0 + flut);
 
-  phase += f0 / kInternalSampleRate;
+  // PS (pulse skewness) modulates the oscillation asymmetry exponent
+  skew_ = 1.6 + PS;
+  lag_phase_ = LAG / (2.0 * M_PI);
+  dp_ = DP;
+  amp_ = 0.16 * (0.3 + 0.7 * (RA + 1.0) / 2.0) * std::sqrt(PR / 8000.0);
+  xb_ = XB;
+  xt_ = XT;
+  chink_ = std::max(0.0, CA);
+  fold2_ = 2.0 * spk.fold_length_cm;
+  // Bernoulli flow coefficient (cgs): u = A * sqrt(2 dP / rho)
+  u_coeff_ = std::sqrt(2.0 * PR * 10.0 / 1.14e-3);
+  asp_gain13_ = std::pow(10.0, AS / 20.0) * 1.3;
+}
+
+double GlottisState::step(double* area_out) {
+  phase += f0_eff_ / kInternalSampleRate;
   if (phase >= 1.0) {
     phase -= 1.0;
     pulse_index++;
@@ -454,35 +469,36 @@ double GlottisState::step(const Speaker& spk, const double* gp,
 
   // asymmetric glottal oscillation in [0, 1]: slow opening, fast closure
   // (the abrupt closing phase is what gives voiced speech its harmonic
-  // richness); PS (pulse skewness) modulates the asymmetry exponent
-  double skew = 1.6 + PS;
+  // richness)
+  const double skew = skew_;
   auto osc_fn = [skew](double p) {
     p -= std::floor(p);
-    return std::pow(std::sin(M_PI * std::pow(p, skew)), 2.0);
+    // p^skew via exp(skew*log p) — ~2x cheaper than pow, exact same limit
+    // at p->0 (log -> -inf, exp -> 0)
+    double ps = (p > 0.0) ? std::exp(skew * std::log(p)) : 0.0;
+    double s = std::sin(M_PI * ps);
+    return s * s;
   };
   double osc_b = osc_fn(phase);
-  double osc_t = osc_fn(phase - LAG / (2.0 * M_PI));
+  double osc_t = osc_fn(phase - lag_phase_);
 
-  double amp_mod = 1.0 - 0.5 * DP * (double)(pulse_index & 1u);
-  double a = 0.16 * amp_mod * (0.3 + 0.7 * (RA + 1.0) / 2.0) *
-             std::sqrt(PR / 8000.0);
+  double amp_mod = 1.0 - 0.5 * dp_ * (double)(pulse_index & 1u);
+  double a = amp_ * amp_mod;
 
   // fold edge displacements oscillate around the rest displacement; the
   // "- 0.3 a" offset produces a closed phase for adducted folds
-  double x_b = XB + a * (osc_b - 0.3);
-  double x_t = XT + a * (osc_t - 0.3);
-  double a_fold = 2.0 * spk.fold_length_cm * std::max(0.0, std::min(x_b, x_t));
-  double a_g = a_fold + std::max(0.0, CA);
+  double x_b = xb_ + a * (osc_b - 0.3);
+  double x_t = xt_ + a * (osc_t - 0.3);
+  double a_fold = fold2_ * std::max(0.0, std::min(x_b, x_t));
+  double a_g = a_fold + chink_;
   if (area_out) *area_out = a_g;
 
-  // Bernoulli flow (cgs): u = A * sqrt(2 dP / rho), dP in dyn/cm^2
-  double u = a_g * std::sqrt(2.0 * PR * 10.0 / 1.14e-3);
+  double u = a_g * u_coeff_;
 
   // aspiration noise, lowpassed, gated by opening and pressure
   double n = white(&noise_state);
   asp_lp += 0.25 * (n - asp_lp);
-  double asp_gain = std::pow(10.0, AS / 20.0);
-  double asp = asp_lp * asp_gain * 1.3 * std::sqrt(std::max(u, 0.0)) *
+  double asp = asp_lp * asp_gain13_ * std::sqrt(std::max(u, 0.0)) *
                std::sqrt(a_g + 0.01);
 
   return u + asp * 40.0;
@@ -500,11 +516,9 @@ void Waveguide::reset() {
   lip_lp_ = lip_out_prev_ = radiated_prev_ = nose_lp_ = fric_lp_ = 0.0;
 }
 
-double Waveguide::step(const Tube& tube, double glottal_flow, double) {
+void Waveguide::set_tube(const Tube& tube) {
   constexpr int kM = kTubeSections;
   constexpr double kAreaFloor = 1e-4;
-  constexpr double kDamp = 0.996;
-  constexpr double kGlottisRefl = 0.96;
   constexpr double kFlowScale = 4.0e-4;  // flow (cm^3/s) -> wave amplitude
   constexpr double kC = 35000.0;         // speed of sound, cm/s
 
@@ -518,9 +532,9 @@ double Waveguide::step(const Tube& tube, double glottal_flow, double) {
   int M = (int)std::lround(total_cm / cm_per_section);
   if (M < 8) M = 8;
   if (M > kM) M = kM;
+  M_ = M;
 
   // resample the 40 geometric sections onto the M acoustic sections
-  double A[kM];
   for (int j = 0; j < M; ++j) {
     double pos = (j + 0.5) / M * kM - 0.5;
     int i0 = (int)std::floor(pos);
@@ -528,53 +542,92 @@ double Waveguide::step(const Tube& tube, double glottal_flow, double) {
     int ia = std::max(0, std::min(kM - 1, i0));
     int ib = std::max(0, std::min(kM - 1, i0 + 1));
     double a = (1.0 - t) * tube.area_cm2[ia] + t * tube.area_cm2[ib];
-    A[j] = std::max(a, kAreaFloor);
+    A_[j] = std::max(a, kAreaFloor);
   }
 
-  // nasal branch geometry: smooth fixed profile, port area = velum opening
-  constexpr int NN = kNasalSections;
-  static const double nasal_area[NN] = {1.5, 2.2, 3.0, 3.6, 4.0, 4.0, 3.6,
-                                        3.0, 2.4, 2.0, 1.6, 1.3, 1.1, 1.0};
-  const double a_port = tube.velum_opening_cm2;
-  const int iv = (int)(0.48 * M);  // velar junction index
+  // interior scattering coefficients (the per-junction divide lives here,
+  // at control rate, not in the per-sample loop)
+  for (int i = 0; i < M - 1; ++i)
+    k_[i] = (A_[i] - A_[i + 1]) / (A_[i] + A_[i + 1]);
 
+  src_scale_ = kFlowScale / std::sqrt(A_[0]);
+  // lip end: area-dependent radiation reflection (a wider mouth opening
+  // reflects less and radiates more)
+  lip_refl_ = -(0.95 - 0.10 * std::sqrt(A_[M - 1]));
+
+  a_port_ = tube.velum_opening_cm2;
+  iv_ = (int)(0.48 * M);  // velar junction index
+
+  // nasal branch geometry: smooth fixed profile (constant coefficients)
+  if (!nasal_k_ready_) {
+    constexpr int NN = kNasalSections;
+    static const double nasal_area[NN] = {1.5, 2.2, 3.0, 3.6, 4.0, 4.0, 3.6,
+                                          3.0, 2.4, 2.0, 1.6, 1.3, 1.1, 1.0};
+    for (int i = 0; i < NN - 1; ++i)
+      nk_[i] = (nasal_area[i] - nasal_area[i + 1]) /
+               (nasal_area[i] + nasal_area[i + 1]);
+    nasal_k_ready_ = true;
+  }
+
+  // frication site: the narrowest supraglottal constriction
+  int im = M / 4;
+  double amin = 1e9;
+  for (int i = M / 4; i < M; ++i)
+    if (A_[i] < amin) {
+      amin = A_[i];
+      im = i;
+    }
+  fric_i_ = im;
+  fric_amp_ = (amin < 0.4) ? (0.4 - amin) / 0.4 : 0.0;
+}
+
+double Waveguide::step(double glottal_flow) {
+  constexpr int kM = kTubeSections;
+  constexpr double kDamp = 0.996;
+  constexpr double kGlottisRefl = 0.96;
+  const int M = M_;
+
+  // zero-initialized so sections beyond M stay cleared when the effective
+  // tract length shrinks (state must not survive an M change)
   double newf[kM] = {0}, newb[kM] = {0};
 
   // source at the glottal end (pressure wave from glottal volume velocity)
-  double src = glottal_flow * kFlowScale / std::sqrt(A[0]);
+  double src = glottal_flow * src_scale_;
   newf[0] = kGlottisRefl * bwd_[0] * kDamp + src;
 
-  // lip end: lowpassed, area-dependent radiation reflection (a wider mouth
-  // opening reflects less and radiates more); radiated sound is the
+  // lip end: lowpassed radiation reflection; radiated sound is the
   // differentiated transmitted pressure
   double lip_in = fwd_[M - 1] * kDamp;
   lip_lp_ += 0.55 * (lip_in - lip_lp_);
-  double lip_refl = -(0.95 - 0.10 * std::sqrt(A[M - 1]));
-  newb[M - 1] = lip_refl * lip_lp_;
+  newb[M - 1] = lip_refl_ * lip_lp_;
   double lip_out = lip_in + newb[M - 1];
 
   // interior scattering junctions
+  const bool nasal_on = a_port_ > 1e-4;
   for (int i = 0; i < M - 1; ++i) {
-    double k = (A[i] - A[i + 1]) / (A[i] + A[i + 1]);
+    double k = k_[i];
     double fi = fwd_[i] * kDamp;
     double bi1 = bwd_[i + 1] * kDamp;
-    if (i == iv && a_port > 1e-4) {
-      // three-port junction with the nasal tract (admittances ~ areas)
-      double nb0 = nbwd_[0] * kDamp;
-      double y1 = A[i], y2 = A[i + 1], y3 = a_port;
-      double pj = 2.0 * (y1 * fi + y2 * bi1 + y3 * nb0) / (y1 + y2 + y3);
-      newb[i] = pj - fi;
-      newf[i + 1] = pj - bi1;
-      nfwd_[0] = pj - nb0;
-    } else {
-      newf[i + 1] = (1.0 + k) * fi - k * bi1;
-      newb[i] = k * fi + (1.0 - k) * bi1;
-    }
+    newf[i + 1] = (1.0 + k) * fi - k * bi1;
+    newb[i] = k * fi + (1.0 - k) * bi1;
+  }
+  if (nasal_on) {
+    // three-port junction with the nasal tract (admittances ~ areas)
+    const int i = iv_;
+    double fi = fwd_[i] * kDamp;
+    double bi1 = bwd_[i + 1] * kDamp;
+    double nb0 = nbwd_[0] * kDamp;
+    double y1 = A_[i], y2 = A_[i + 1], y3 = a_port_;
+    double pj = 2.0 * (y1 * fi + y2 * bi1 + y3 * nb0) / (y1 + y2 + y3);
+    newb[i] = pj - fi;
+    newf[i + 1] = pj - bi1;
+    nfwd_[0] = pj - nb0;
   }
 
   // nasal tract propagation + nostril radiation
   double nose_out = 0.0;
-  if (a_port > 1e-4 || std::abs(nfwd_[0]) > 1e-12) {
+  if (nasal_on || std::abs(nfwd_[0]) > 1e-12) {
+    constexpr int NN = kNasalSections;
     double nf[NN], nb[NN];
     nf[0] = nfwd_[0];
     double nose_in = nfwd_[NN - 1] * kDamp;
@@ -582,8 +635,7 @@ double Waveguide::step(const Tube& tube, double glottal_flow, double) {
     nb[NN - 1] = -0.80 * nose_lp_;
     nose_out = nose_in + nb[NN - 1];
     for (int i = 0; i < NN - 1; ++i) {
-      double k = (nasal_area[i] - nasal_area[i + 1]) /
-                 (nasal_area[i] + nasal_area[i + 1]);
+      double k = nk_[i];
       double fi = nfwd_[i] * kDamp;
       double bi1 = nbwd_[i + 1] * kDamp;
       nf[i + 1] = (1.0 + k) * fi - k * bi1;
@@ -595,23 +647,16 @@ double Waveguide::step(const Tube& tube, double glottal_flow, double) {
 
   // frication: inject bandlimited noise downstream of a narrow supraglottal
   // constriction, scaled by the local flow estimate
-  int im = M / 4;
-  double amin = 1e9;
-  for (int i = M / 4; i < M; ++i)
-    if (A[i] < amin) {
-      amin = A[i];
-      im = i;
-    }
-  if (amin < 0.4) {
+  if (fric_amp_ > 0.0) {
+    int im = fric_i_;
     double u_c = (fwd_[im] - bwd_[im]);
     double n = white(&noise_state_);
     fric_lp_ += 0.55 * (n - fric_lp_);
     double band = n - fric_lp_;  // highpassed noise
-    double amp = (0.4 - amin) / 0.4;
     int inj = std::min(im + 1, M - 1);
     // saturating level estimate: no positive feedback loop possible
     double level = std::tanh(3.0 * std::abs(u_c));
-    newf[inj] += band * amp * level * 0.25;
+    newf[inj] += band * fric_amp_ * level * 0.25;
   }
 
   std::memcpy(fwd_.data(), newf, sizeof(newf));
@@ -647,16 +692,24 @@ void Synthesizer::synth_ramp(const double* tract0, const double* glottis0,
   Tube t = t0;
   double gp[kGlottisParams];
   for (int s = 0; s < n; ++s) {
-    double a = (n <= 1) ? 1.0 : (double)(s + 1) / n;
-    for (int i = 0; i < kTubeSections; ++i) {
-      t.area_cm2[i] = lerp(t0.area_cm2[i], t1.area_cm2[i], a);
-      t.length_cm[i] = lerp(t0.length_cm[i], t1.length_cm[i], a);
+    if (s % kControlBlock == 0) {
+      // control-rate commit: interpolate the tube/glottis params and derive
+      // the expensive coefficients once per block (the params move slowly —
+      // one cp frame spans 110 samples)
+      double a = (n <= 1) ? 1.0 : (double)(s + 1) / n;
+      for (int i = 0; i < kTubeSections; ++i) {
+        t.area_cm2[i] = lerp(t0.area_cm2[i], t1.area_cm2[i], a);
+        t.length_cm[i] = lerp(t0.length_cm[i], t1.length_cm[i], a);
+      }
+      t.velum_opening_cm2 =
+          lerp(t0.velum_opening_cm2, t1.velum_opening_cm2, a);
+      for (int i = 0; i < kGlottisParams; ++i)
+        gp[i] = lerp(glottis0[i], glottis1[i], a);
+      wg_.set_tube(t);
+      glottis_state_.prepare(speaker_, gp);
     }
-    t.velum_opening_cm2 = lerp(t0.velum_opening_cm2, t1.velum_opening_cm2, a);
-    for (int i = 0; i < kGlottisParams; ++i)
-      gp[i] = lerp(glottis0[i], glottis1[i], a);
-    double flow = glottis_state_.step(speaker_, gp, nullptr);
-    audio[s] = wg_.step(t, flow, 0.0);
+    double flow = glottis_state_.step(nullptr);
+    audio[s] = wg_.step(flow);
   }
 }
 
@@ -703,17 +756,21 @@ int Synthesizer::add_tube(int n_samples, double* audio,
   Tube t = cur_tube_;
   double gp[kGlottisParams];
   for (int s = 0; s < n_samples; ++s) {
-    double a = (double)(s + 1) / n_samples;
-    for (int i = 0; i < kTubeSections; ++i) {
-      t.area_cm2[i] = lerp(cur_tube_.area_cm2[i], target.area_cm2[i], a);
-      t.length_cm[i] = lerp(cur_tube_.length_cm[i], target.length_cm[i], a);
+    if (s % kControlBlock == 0) {
+      double a = (double)(s + 1) / n_samples;
+      for (int i = 0; i < kTubeSections; ++i) {
+        t.area_cm2[i] = lerp(cur_tube_.area_cm2[i], target.area_cm2[i], a);
+        t.length_cm[i] = lerp(cur_tube_.length_cm[i], target.length_cm[i], a);
+      }
+      t.velum_opening_cm2 = lerp(cur_tube_.velum_opening_cm2,
+                                 target.velum_opening_cm2, a);
+      for (int i = 0; i < kGlottisParams; ++i)
+        gp[i] = lerp(cur_glottis_[i], glottis[i], a);
+      wg_.set_tube(t);
+      glottis_state_.prepare(speaker_, gp);
     }
-    t.velum_opening_cm2 = lerp(cur_tube_.velum_opening_cm2,
-                               target.velum_opening_cm2, a);
-    for (int i = 0; i < kGlottisParams; ++i)
-      gp[i] = lerp(cur_glottis_[i], glottis[i], a);
-    double flow = glottis_state_.step(speaker_, gp, nullptr);
-    audio[s] = wg_.step(t, flow, 0.0);
+    double flow = glottis_state_.step(nullptr);
+    audio[s] = wg_.step(flow);
   }
   cur_tube_ = target;
   std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
@@ -732,11 +789,12 @@ void tract_transfer_function(const Speaker& spk, const double* tract,
   tract_to_tube(spk, tract, &tube);
   Waveguide wg;
   wg.reset();
+  wg.set_tube(tube);  // static tube: commit coefficients once
   constexpr int N = 4096;
   std::vector<double> h(N);
   for (int s = 0; s < N; ++s) {
     double flow = (s == 0) ? 1.0e4 : 0.0;  // impulse of glottal flow
-    h[s] = wg.step(tube, flow, 0.0);
+    h[s] = wg.step(flow);
   }
   for (int k = 0; k < n_points; ++k) {
     double w = M_PI * (double)k / (double)n_points;  // 0..pi (Nyquist)

@@ -100,6 +100,14 @@ struct Outline {
 void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube);
 void tract_to_outline(const Speaker& spk, const double* tract, Outline* out);
 
+// Audio-rate / control-rate split: glottis params and tube geometry change
+// slowly (the cp frame is 110 samples, and within a frame they lerp), so the
+// expensive derived quantities (flutter sines, scattering coefficients,
+// divisions, libm calls) are committed once per control block
+// (kControlBlock samples) by prepare()/set_tube(), and the per-sample
+// step() only runs the recurrences.
+constexpr int kControlBlock = 8;
+
 // kinematic glottis state
 struct GlottisState {
   double phase = 0.0;
@@ -107,17 +115,38 @@ struct GlottisState {
   uint32_t noise_state = 0x9e3779b9u;
   double asp_lp = 0.0;  // aspiration noise lowpass state
   void reset();
-  // advance one sample with the given (possibly interpolated) glottis
-  // params; returns glottal volume velocity (arbitrary consistent units)
-  double step(const Speaker& spk, const double* glottis, double* area_out);
+  // control-rate: commit (possibly interpolated) glottis params for a block
+  void prepare(const Speaker& spk, const double* glottis);
+  // audio-rate: advance one sample; returns glottal volume velocity
+  // (arbitrary consistent units)
+  double step(double* area_out);
+  // convenience: prepare + one sample (analysis paths)
+  double step(const Speaker& spk, const double* glottis, double* area_out) {
+    prepare(spk, glottis);
+    return step(area_out);
+  }
+
+ private:
+  // cached per control block
+  double f0_eff_ = 0.0, skew_ = 1.6, lag_phase_ = 0.0, amp_ = 0.0;
+  double xb_ = 0.0, xt_ = 0.0, chink_ = 0.0, dp_ = 0.0;
+  double fold2_ = 2.0, u_coeff_ = 0.0, asp_gain13_ = 0.0;
 };
 
 // Kelly-Lochbaum waveguide over the tube sections + nasal branch
 class Waveguide {
  public:
   void reset();
-  // synthesize one output sample given the current tube and glottal flow
-  double step(const Tube& tube, double glottal_flow, double noise_seed);
+  // control-rate: commit the tube geometry (section count, areas,
+  // scattering coefficients, lip reflection, nasal port, frication site)
+  void set_tube(const Tube& tube);
+  // audio-rate: one output sample from the glottal flow
+  double step(double glottal_flow);
+  // convenience: set_tube + one sample (analysis paths)
+  double step(const Tube& tube, double glottal_flow, double /*seed*/) {
+    set_tube(tube);
+    return step(glottal_flow);
+  }
 
  private:
   std::array<double, kTubeSections> fwd_{}, bwd_{};
@@ -127,6 +156,17 @@ class Waveguide {
   double nose_lp_ = 0.0;
   double fric_lp_ = 0.0;
   uint32_t noise_state_ = 0x2545f491u;
+  // cached per control block (set_tube)
+  int M_ = kTubeSections;
+  double A_[kTubeSections] = {0};
+  double k_[kTubeSections] = {0};
+  double nk_[kNasalSections] = {0};
+  double src_scale_ = 0.0, lip_refl_ = -0.9;
+  int iv_ = 0;
+  double a_port_ = 0.0;
+  int fric_i_ = 0;
+  double fric_amp_ = 0.0;  // 0 when no narrow constriction
+  bool nasal_k_ready_ = false;
 };
 
 // full synthesizer instance: owns speaker, interpolation state and engine
