@@ -130,6 +130,80 @@ def plan_corpus(paule_model, files, save_dir, *, semvec_lookup=None,
     return result_files
 
 
+def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
+                        semvecs=None, plan_kwargs=None, verbose=True):
+    """Plan a corpus data-parallel: utterances bucket by EXACT mel length
+    (no padding, no masking — planning losses stay exact, mirroring the
+    same-size batching idea of continue-learning), each bucket splits into
+    batches of ``<= max_batch``, and every batch plans in one
+    :func:`paule_tpu.parallel.batched.plan_batch_resynth` call (per-utterance
+    Adam states, dp-sharded over ``mesh`` when given).
+
+    ``targets``: list of audio file paths, ``(sig, sr)`` tuples, or
+    precomputed normalized ``(F, 60)`` mels.  ``semvecs``: optional
+    per-utterance (300,) vectors aligned with ``targets``.
+
+    Returns a list (input order) of per-utterance dicts with ``planned_cp``,
+    ``prod_sig``, ``prod_loss_curve`` (per outer iteration) and any variant
+    metric curves the model logs.
+    """
+    from .dsp import audio as audio_io
+    from .dsp.mel import librosa_melspec
+    from .ops.normalize import normalize_mel
+    from .parallel import batched
+
+    plan_kwargs = dict(plan_kwargs or {})
+    plan_kwargs.setdefault("objective", "acoustic_semvec")
+
+    def to_mel(t):
+        if isinstance(t, str):
+            sig, sr = audio_io.read(t)
+            if getattr(sig, "ndim", 1) == 2:
+                from .dsp.audio import stereo_to_mono
+
+                sig = stereo_to_mono(sig)
+        elif isinstance(t, tuple) and len(t) == 2:
+            sig, sr = t
+        else:
+            return np.asarray(t)
+        mel = np.asarray(normalize_mel(librosa_melspec(sig, sr)))
+        return mel - mel.min()  # single-path target convention (api.py:546)
+
+    mels = [to_mel(t) for t in targets]
+    buckets = {}
+    for i, m in enumerate(mels):
+        buckets.setdefault(m.shape[0], []).append(i)
+
+    results = [None] * len(targets)
+    for length in sorted(buckets):
+        idxs = buckets[length]
+        for start in range(0, len(idxs), max_batch):
+            batch_idx = idxs[start:start + max_batch]
+            tmels = np.stack([mels[i] for i in batch_idx])
+            tsem = (np.stack([np.asarray(semvecs[i]) for i in batch_idx])
+                    if semvecs is not None else None)
+            batch_mesh = mesh
+            if mesh is not None and len(batch_idx) % mesh.shape["dp"] != 0:
+                batch_mesh = None  # leftover batch runs unsharded
+            if verbose:
+                print(f"planning bucket len={length}: "
+                      f"{len(batch_idx)} utterances")
+            out = batched.plan_batch_resynth(
+                paule_model, tmels, tsem, mesh=batch_mesh, **plan_kwargs)
+            for j, i in enumerate(batch_idx):
+                per = {
+                    "planned_cp": out["planned_cp"][j],
+                    "prod_sig": out["prod_sigs"][j],
+                    "prod_mel": out["prod_mels"][j],
+                    "prod_loss_curve": out["prod_loss_curve"][:, j],
+                }
+                for key, val in out.items():
+                    if key.endswith("_curve") and key != "prod_loss_curve":
+                        per[key] = val[:, j]
+                results[i] = per
+    return results
+
+
 def collect_results(save_dir, *, out_txt="results_loss.txt",
                     out_pickle="final_results.pkl"):
     """Aggregate per-utterance final losses (reference notebook cells

@@ -60,3 +60,33 @@ def test_plan_corpus_and_collect(corpus, tmp_path):
     # resume: everything planned -> nothing left to do
     remaining = experiments.discover_targets(corpus, save_dir=save_dir)
     assert remaining == []
+
+
+def test_plan_corpus_batched_mixed_lengths(tmp_path):
+    """Variable-length corpus planning: utterances bucket by exact mel
+    length, plan in dp batches, and return per-utterance results in input
+    order."""
+    import numpy as np
+    from paule_tpu import synth
+    from paule_tpu.api import Paule
+    from paule_tpu.experiments import plan_corpus_batched
+    from paule_tpu.ops.normalize import inv_normalize_cp
+
+    synth.initialize()
+    p = Paule(seed=21)
+    rng = np.random.default_rng(9)
+    targets = []
+    for n_cp in (24, 24, 32, 24, 32):  # two length buckets, one leftover
+        cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1, -1, 1)
+        targets.append(synth.speak(inv_normalize_cp(cp)))
+
+    results = plan_corpus_batched(
+        p, targets, max_batch=2, verbose=False,
+        plan_kwargs=dict(n_outer=1, n_inner=2, objective="acoustic",
+                         continue_learning=False))
+    assert len(results) == 5
+    for i, n_cp in enumerate((24, 24, 32, 24, 32)):
+        assert results[i]["planned_cp"].shape == (n_cp, 30)
+        assert results[i]["prod_loss_curve"].shape == (1,)
+        assert np.isfinite(results[i]["prod_loss_curve"]).all()
+        assert results[i]["prod_sig"].shape == ((n_cp - 1) * 110,)
