@@ -38,3 +38,17 @@ out = batched.plan_batch_resynth(paule_model, target_mels, mesh=mesh,
                                  objective="acoustic",
                                  continue_learning=True, verbose=True)
 print("produced-loss curve:", out["prod_loss_curve"].mean(axis=1))
+
+# variable-length corpora: bucket by exact mel length and batch per bucket
+# (also available from the CLI: python -m paule_tpu corpus --batched 8 ...)
+from paule_tpu.experiments import plan_corpus_batched  # noqa: E402
+
+wavs = []  # mixed lengths, as (sig, sr) tuples or file paths
+for n_cp in (48, 64, 48, 64, 64):
+    cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1, -1, 1)
+    wavs.append(synth.speak(inv_normalize_cp(cp)))
+per_utt = plan_corpus_batched(paule_model, wavs, mesh=mesh, max_batch=8,
+                              plan_kwargs=dict(n_outer=3, n_inner=25,
+                                               objective="acoustic"))
+print("per-utterance final losses:",
+      [round(float(r["prod_loss_curve"][-1]), 3) for r in per_utt])

@@ -12,6 +12,7 @@ interface); this wraps the same entry points:
 """
 
 import argparse
+import os
 import pickle
 import sys
 
@@ -96,6 +97,27 @@ def cmd_corpus(args):
     if not files:
         print("nothing to plan (all results exist)")
         return
+    if getattr(args, "batched", 0):
+        # data-parallel: exact-length buckets, one plan_batch_resynth call
+        # per batch of up to --batched utterances
+        results = experiments.plan_corpus_batched(
+            model, files, max_batch=args.batched,
+            plan_kwargs=dict(
+                objective=args.objective,
+                n_outer=args.n_outer, n_inner=args.n_inner,
+                continue_learning=not args.no_continue_learning,
+                batch_size=args.batch_size, n_epochs=args.n_epochs),
+            verbose=not args.quiet)
+        os.makedirs(args.save_dir, exist_ok=True)
+        for path, res in zip(files, results):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            with open(os.path.join(args.save_dir, stem + "_batched.pkl"),
+                      "wb") as fh:
+                pickle.dump(res, fh, protocol=4)
+        losses = [float(r["prod_loss_curve"][-1]) for r in results]
+        print(f"planned {len(results)} utterances; "
+              f"final prod loss mean {sum(losses) / len(losses):.4f}")
+        return
     experiments.plan_corpus(
         model, files, args.save_dir,
         plan_kwargs=dict(
@@ -156,6 +178,9 @@ def build_parser():
     p = sub.add_parser("corpus", help="plan a corpus (resume-safe)")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--save-dir", required=True)
+    p.add_argument("--batched", type=int, default=0, metavar="B",
+                   help="plan data-parallel in exact-length buckets of up "
+                        "to B utterances per batch (0 = one at a time)")
     _add_plan_args(p)
     p.set_defaults(fn=cmd_corpus)
 

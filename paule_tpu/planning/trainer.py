@@ -191,11 +191,24 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
         # bounded by the number of distinct batch sizes — not by random run
         # boundaries.  Within an epoch, full batches run before leftovers (a
         # reordering of SGD steps; the epoch's batch order is random anyway).
+        full_per_epoch = [[np.asarray(b, dtype=np.int32)
+                           for b in ep if len(b) == batch_size]
+                          for ep in epoch_batches]
+        rest_per_epoch = [[list(b) for b in ep if len(b) != batch_size]
+                          for ep in epoch_batches]
+        if not any(rest_per_epoch):
+            # no leftovers anywhere: ALL epochs fuse into ONE scan (the
+            # common continue-learning shape — e.g. 24 samples in 3 batches
+            # of 8 x 10 epochs = 30 steps, one dispatch); step order is
+            # exactly the per-epoch order, so semantics are unchanged
+            idx_all = np.concatenate([np.stack(f) for f in full_per_epoch])
+            losses = trainer.train_scan(all_in, all_out, idx_all)
+            host = np.asarray(jax.device_get(losses))
+            per_epoch = np.split(host, np.cumsum(
+                [len(f) for f in full_per_epoch])[:-1])
+            return [float(np.mean(ls)) for ls in per_epoch]
         epoch_parts = []  # per epoch: list of device loss arrays/scalars
-        for ep in epoch_batches:
-            full = [np.asarray(b, dtype=np.int32)
-                    for b in ep if len(b) == batch_size]
-            rest = [list(b) for b in ep if len(b) != batch_size]
+        for full, rest in zip(full_per_epoch, rest_per_epoch):
             parts = []
             if full:
                 parts.append(trainer.train_scan(
