@@ -99,7 +99,18 @@ def cmd_corpus(args):
         return
     if getattr(args, "batched", 0):
         # data-parallel: exact-length buckets, one plan_batch_resynth call
-        # per batch of up to --batched utterances
+        # per batch of up to --batched utterances; results persist per batch
+        # under <save_dir>/<label>/ so an interrupted run resumes (the
+        # discover_targets call above skips *_batched.pkl results)
+        def save_result(i, res):
+            label = experiments.label_of(files[i])
+            out_dir = os.path.join(args.save_dir, label)
+            os.makedirs(out_dir, exist_ok=True)
+            stem = os.path.splitext(os.path.basename(files[i]))[0]
+            with open(os.path.join(out_dir, stem + "_batched.pkl"),
+                      "wb") as fh:
+                pickle.dump(res, fh, protocol=4)
+
         results = experiments.plan_corpus_batched(
             model, files, max_batch=args.batched,
             plan_kwargs=dict(
@@ -107,13 +118,7 @@ def cmd_corpus(args):
                 n_outer=args.n_outer, n_inner=args.n_inner,
                 continue_learning=not args.no_continue_learning,
                 batch_size=args.batch_size, n_epochs=args.n_epochs),
-            verbose=not args.quiet)
-        os.makedirs(args.save_dir, exist_ok=True)
-        for path, res in zip(files, results):
-            stem = os.path.splitext(os.path.basename(path))[0]
-            with open(os.path.join(args.save_dir, stem + "_batched.pkl"),
-                      "wb") as fh:
-                pickle.dump(res, fh, protocol=4)
+            verbose=not args.quiet, on_result=save_result)
         losses = [float(r["prod_loss_curve"][-1]) for r in results]
         print(f"planned {len(results)} utterances; "
               f"final prod loss mean {sum(losses) / len(losses):.4f}")

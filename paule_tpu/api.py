@@ -566,10 +566,10 @@ class Paule:
             target_mel = _to_np(target_mel)
             target_sig, target_sr = mel_to_sig(target_mel[0])
         elif target_mel is None:
-            mel = librosa_melspec(target_sig, target_sr)
-            mel = normalize_mel(mel)
-            mel -= mel.min()
-            target_mel = mel[None]
+            # shared min-shift convention (dsp.targets docstring)
+            from .dsp.targets import normalized_target_mel
+
+            target_mel = normalized_target_mel(target_sig, target_sr)[None]
             target_seq_length = target_mel.shape[1]
 
         target_mel_dev = jnp.asarray(target_mel, dtype=self.dtype)
@@ -1186,7 +1186,10 @@ class Paule:
                         f"Not enough data produced to fill 50% of "
                         f"{n_batches} batches...", 2 * k)
                 else:
-                    k = want
+                    # the reference would crash here if the replay buffer
+                    # held fewer than `want` rows (random.sample larger than
+                    # population); we clamp instead
+                    k = min(want, len(self.continue_data))
                 prod_idx = self._py_rng.sample(range(len(produced)), k)
                 old = self.continue_data.sample(k)
                 mixed = pd.concat(

@@ -99,9 +99,9 @@ def restore_paule_state(model, state, *, dtype=None):
             else jnp.asarray(a), tree)
 
     model.pred_trainer.params = dev(state["pred_params"])
-    model.pred_trainer.opt_state = dev(state["pred_opt_state"])
+    model.pred_trainer.restore_opt_state(dev(state["pred_opt_state"]))
     model.inv_trainer.params = dev(state["inv_params"])
-    model.inv_trainer.opt_state = dev(state["inv_opt_state"])
+    model.inv_trainer.restore_opt_state(dev(state["inv_opt_state"]))
     model.embedder_params = dev(state["embedder_params"])
     model.cp_gen_params = dev(state["cp_gen_params"])
     model.mel_gen_params = dev(state["mel_gen_params"])
@@ -111,9 +111,10 @@ def restore_paule_state(model, state, *, dtype=None):
             state["speech_classifier_params"])
     if model.use_somatosensory_feedback and "cp_tube_params" in state:
         model.tube_trainer.params = dev(state["cp_tube_params"])
-        model.tube_trainer.opt_state = dev(state["cp_tube_opt_state"])
+        model.tube_trainer.restore_opt_state(dev(state["cp_tube_opt_state"]))
         model.tube_mel_trainer.params = dev(state["tube_mel_params"])
-        model.tube_mel_trainer.opt_state = dev(state["tube_mel_opt_state"])
+        model.tube_mel_trainer.restore_opt_state(
+            dev(state["tube_mel_opt_state"]))
         model.tube_embedder_params = dev(state["tube_embedder_params"])
     if "jax_rng" in state:
         model._jax_rng = jnp.asarray(np.asarray(state["jax_rng"]))

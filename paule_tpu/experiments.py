@@ -47,6 +47,8 @@ def discover_targets(data_dir, *, save_dir=None, shuffle=True, seed=23082022):
                 if (name.endswith("_results.pkl")
                         and name != "final_results.pkl"):
                     done.add(name[: -len("_results.pkl")])
+                elif name.endswith("_batched.pkl"):
+                    done.add(name[: -len("_batched.pkl")])
         files = [f for f in files
                  if os.path.splitext(os.path.basename(f))[0] not in done]
     return files
@@ -131,7 +133,8 @@ def plan_corpus(paule_model, files, save_dir, *, semvec_lookup=None,
 
 
 def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
-                        semvecs=None, plan_kwargs=None, verbose=True):
+                        semvecs=None, plan_kwargs=None, verbose=True,
+                        on_result=None):
     """Plan a corpus data-parallel: utterances bucket by EXACT mel length
     (no padding, no masking — planning losses stay exact, mirroring the
     same-size batching idea of continue-learning), each bucket splits into
@@ -145,29 +148,20 @@ def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
 
     Returns a list (input order) of per-utterance dicts with ``planned_cp``,
     ``prod_sig``, ``prod_loss_curve`` (per outer iteration) and any variant
-    metric curves the model logs.
+    metric curves the model logs.  ``on_result(index, result)`` fires as
+    soon as each utterance's batch completes (for incremental/resume-safe
+    persistence).
     """
-    from .dsp import audio as audio_io
-    from .dsp.mel import librosa_melspec
-    from .ops.normalize import normalize_mel
+    from .dsp.targets import audio_target_to_mel
     from .parallel import batched
 
     plan_kwargs = dict(plan_kwargs or {})
     plan_kwargs.setdefault("objective", "acoustic_semvec")
 
     def to_mel(t):
-        if isinstance(t, str):
-            sig, sr = audio_io.read(t)
-            if getattr(sig, "ndim", 1) == 2:
-                from .dsp.audio import stereo_to_mono
-
-                sig = stereo_to_mono(sig)
-        elif isinstance(t, tuple) and len(t) == 2:
-            sig, sr = t
-        else:
-            return np.asarray(t)
-        mel = np.asarray(normalize_mel(librosa_melspec(sig, sr)))
-        return mel - mel.min()  # single-path target convention (api.py:546)
+        if isinstance(t, str) or (isinstance(t, tuple) and len(t) == 2):
+            return audio_target_to_mel(t)[2]
+        return np.asarray(t)  # precomputed normalized mel
 
     mels = [to_mel(t) for t in targets]
     buckets = {}
@@ -201,6 +195,8 @@ def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
                     if key.endswith("_curve") and key != "prod_loss_curve":
                         per[key] = val[:, j]
                 results[i] = per
+                if on_result is not None:
+                    on_result(i, per)
     return results
 
 

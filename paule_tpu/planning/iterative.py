@@ -20,9 +20,7 @@ once and is reused for every same-length chunk.
 
 import numpy as np
 
-from ..dsp.audio import read as audio_read, stereo_to_mono
-from ..dsp.mel import librosa_melspec
-from ..ops.normalize import normalize_mel
+from ..dsp.targets import audio_target_to_mel
 
 
 def plan_iterative(paule_obj, *, target_acoustic=None, target_semvecs=None,
@@ -43,14 +41,7 @@ def plan_iterative(paule_obj, *, target_acoustic=None, target_semvecs=None,
     # per-chunk plan_resynth target kwargs
     if target_acoustic is not None:
         # acoustic target: build the full normalized mel and chunk it
-        if isinstance(target_acoustic, str):
-            sig, sr = audio_read(target_acoustic)
-            if sig.ndim == 2:
-                sig = stereo_to_mono(sig)
-        else:
-            sig, sr = target_acoustic
-        mel = normalize_mel(librosa_melspec(sig, sr))
-        mel -= mel.min()
+        _sig, _sr, mel = audio_target_to_mel(target_acoustic)
 
         n_frames = mel.shape[0]
         chunks = []

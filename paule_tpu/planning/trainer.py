@@ -98,6 +98,19 @@ class ModelTrainer:
             self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
                 lr, dtype=self.opt_state.hyperparams["learning_rate"].dtype)
 
+    def restore_opt_state(self, state):
+        """Adopt a (checkpoint-restored) optimizer state.
+
+        Migrates pre-inject_hyperparams checkpoints (plain adam chain
+        states, no ``hyperparams`` field) by wrapping them with the
+        trainer's current learning rate, and re-syncs the cached lr so a
+        later ``set_learning_rate`` compares against the restored value."""
+        if not hasattr(state, "hyperparams"):
+            fresh = self.optimizer.init(self.params)
+            state = fresh._replace(inner_state=state)
+        self.opt_state = state
+        self._lr = float(state.hyperparams["learning_rate"])
+
     def _make_step(self):
         model = self.model
         loss_kind = self.loss_kind

@@ -17,10 +17,37 @@ LIB_NAME = "libptsynth.so" if not sys.platform.startswith("darwin") else "libpts
 LIB_PATH = os.path.join(BUILD_DIR, LIB_NAME)
 
 SOURCES = ["model.cpp", "files.cpp", "api.cpp"]
+CPU_TAG_PATH = os.path.join(BUILD_DIR, "cpu.tag")
+
+
+def _cpu_tag():
+    """Fingerprint of the host CPU's ISA features.  The library builds with
+    -march=native, so an artifact cached on a shared filesystem must not be
+    reused on a machine with different features (SIGILL otherwise)."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (platform.machine() + feats).encode()).hexdigest()[:16]
 
 
 def _needs_build():
     if not os.path.exists(LIB_PATH):
+        return True
+    try:
+        with open(CPU_TAG_PATH) as fh:
+            if fh.read().strip() != _cpu_tag():
+                return True
+    except OSError:
         return True
     lib_mtime = os.path.getmtime(LIB_PATH)
     for src in SOURCES + ["model.h"]:
@@ -50,6 +77,8 @@ def build(force=False, verbose=False):
     if result.returncode != 0:
         raise RuntimeError(
             f"synthesizer build failed:\n{result.stderr}\n{result.stdout}")
+    with open(CPU_TAG_PATH, "w") as fh:
+        fh.write(_cpu_tag())
     return LIB_PATH
 
 

@@ -337,6 +337,15 @@ def test_scarce_data_continue_learning_fallback(paule_model, monkeypatch,
                                        add_training_data_pred=False, **kw)
         assert captured[-1] == 12
         assert "Not enough" not in capsys.readouterr().out
+
+        # abundant-produced + scarce-REPLAY mixing: produced=30 >= 6 wanted
+        # but the replay buffer holds only 5 rows -> clamp to 5+5, no crash
+        # (the reference's random.sample would raise here)
+        paule_model.continue_data = ReplayBuffer(
+            replay.copy(), rng=paule_model._py_rng)
+        paule_model._continue_learning(seg_big, tsem, logs,
+                                       add_training_data_pred=True, **kw)
+        assert captured[-1] == 10
     finally:
         paule_model.continue_data = old_buffer
 

@@ -87,3 +87,34 @@ def test_replay_buffer_saved(tmp_path, target):
     assert len(q.continue_data) == 3
     state = CK.load_pytree(path)
     assert state["use_speech_classifier"] is False
+
+
+def test_legacy_opt_state_migrates():
+    """Checkpoints written before the inject_hyperparams switch stored plain
+    adam chain states; restore_opt_state wraps them and training proceeds."""
+    import jax
+    import numpy as np
+    import optax
+    from paule_tpu.config import DTYPE
+    from paule_tpu.models import ForwardModel
+    from paule_tpu.planning.trainer import ModelTrainer
+
+    model = ForwardModel(num_lstm_layers=1, hidden_size=16)
+    params = model.init(jax.random.PRNGKey(0), DTYPE)
+    legacy_state = optax.adam(0.001).init(params)  # pre-migration format
+
+    trainer = ModelTrainer(model, params, loss="rmse", learning_rate=0.001)
+    trainer.restore_opt_state(legacy_state)
+    assert float(trainer.opt_state.hyperparams["learning_rate"]) == 0.001
+
+    rng = np.random.default_rng(0)
+    loss = trainer.train_batch(rng.normal(0, 0.3, (2, 12, 30)).astype(DTYPE),
+                               rng.normal(0, 0.3, (2, 6, 60)).astype(DTYPE))
+    assert np.isfinite(float(loss))
+
+    # restoring a new-format state re-syncs the cached lr so a later
+    # set_learning_rate with the session's value is honored
+    trainer2 = ModelTrainer(model, params, loss="rmse", learning_rate=0.005)
+    trainer2.restore_opt_state(trainer.opt_state)
+    trainer2.set_learning_rate(0.002)
+    assert float(trainer2.opt_state.hyperparams["learning_rate"]) == 0.002

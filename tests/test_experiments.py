@@ -90,3 +90,20 @@ def test_plan_corpus_batched_mixed_lengths(tmp_path):
         assert results[i]["prod_loss_curve"].shape == (1,)
         assert np.isfinite(results[i]["prod_loss_curve"]).all()
         assert results[i]["prod_sig"].shape == ((n_cp - 1) * 110,)
+
+
+def test_discover_targets_skips_batched_results(tmp_path):
+    import os
+    from paule_tpu.experiments import discover_targets
+
+    data = tmp_path / "data" / "lab"
+    data.mkdir(parents=True)
+    for stem in ("a_lab", "b_lab"):
+        (data / f"{stem}.wav").write_bytes(b"RIFF")
+    save = tmp_path / "save" / "lab"
+    save.mkdir(parents=True)
+    (save / "a_lab_batched.pkl").write_bytes(b"x")
+
+    files = discover_targets(str(tmp_path / "data"),
+                             save_dir=str(tmp_path / "save"), shuffle=False)
+    assert [os.path.basename(f) for f in files] == ["b_lab.wav"]
