@@ -532,6 +532,11 @@ void Waveguide::set_tube(const Tube& tube) {
   int M = (int)std::lround(total_cm / cm_per_section);
   if (M < 8) M = 8;
   if (M > kM) M = kM;
+  if (M < M_) {
+    // effective tract shortened: clear the dropped sections' state so it
+    // cannot resurface if M grows again later
+    for (int i = M; i < M_; ++i) fwd_[i] = bwd_[i] = 0.0;
+  }
   M_ = M;
 
   // resample the 40 geometric sections onto the M acoustic sections
@@ -587,9 +592,9 @@ double Waveguide::step(double glottal_flow) {
   constexpr double kGlottisRefl = 0.96;
   const int M = M_;
 
-  // zero-initialized so sections beyond M stay cleared when the effective
-  // tract length shrinks (state must not survive an M change)
-  double newf[kM] = {0}, newb[kM] = {0};
+  // every entry in [0, M) is written below (source/lip ends + interior
+  // junctions); sections beyond M are cleared by set_tube on M changes
+  double newf[kM], newb[kM];
 
   // source at the glottal end (pressure wave from glottal volume velocity)
   double src = glottal_flow * src_scale_;
@@ -659,8 +664,8 @@ double Waveguide::step(double glottal_flow) {
     newf[inj] += band * fric_amp_ * level * 0.25;
   }
 
-  std::memcpy(fwd_.data(), newf, sizeof(newf));
-  std::memcpy(bwd_.data(), newb, sizeof(newb));
+  std::memcpy(fwd_.data(), newf, sizeof(double) * M);
+  std::memcpy(bwd_.data(), newb, sizeof(double) * M);
 
   // radiation: differentiate, add nasal output, DC-block
   double pressure = lip_out + 0.8 * nose_out;
