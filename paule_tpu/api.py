@@ -316,21 +316,20 @@ class Paule:
         )
 
     def _embed(self, mel, deterministic=True, rng=None):
-        """mel (1, T, 60) -> semvec (1, 300)."""
+        """mel (1, T, 60) -> semvec (1, 300); full-length mels use the
+        static last-step gather (lens=None)."""
         mel = jnp.asarray(mel, dtype=self.dtype)
-        lens = jnp.full((mel.shape[0],), mel.shape[1])
         if deterministic:
-            return self._j_embed(self.embedder_params, mel, lens)
-        return self.embedder.apply(self.embedder_params, mel, lens,
+            return self._j_embed(self.embedder_params, mel, None)
+        return self.embedder.apply(self.embedder_params, mel, None,
                                    deterministic=deterministic, rng=rng)
 
     def _tube_embed(self, tube, deterministic=True, rng=None):
         tube = jnp.asarray(tube, dtype=self.dtype)
-        lens = jnp.full((tube.shape[0],), tube.shape[1])
         if deterministic:
-            return self._j_tube_embed(self.tube_embedder_params, tube, lens)
+            return self._j_tube_embed(self.tube_embedder_params, tube, None)
         return self.tube_embedder.apply(
-            self.tube_embedder_params, tube, lens,
+            self.tube_embedder_params, tube, None,
             deterministic=deterministic, rng=rng)
 
     def _next_rng(self):
@@ -384,9 +383,9 @@ class Paule:
             per_mel = jax.vmap(L.rmse)
             out["prod_loss"] = MEL_WEIGHT * per_mel(prod_mel, tm)
             if want_semvec:
-                lens = jnp.full((prod_mel.shape[0],), prod_mel.shape[1])
+                # lens=None -> static last-step gather (full-length mels)
                 prod_semvec = embedder.apply(params["embedder"], prod_mel,
-                                             lens, deterministic=True)
+                                             None, deterministic=True)
                 out["prod_semvec"] = prod_semvec
                 ts = jnp.broadcast_to(target_semvec, prod_semvec.shape)
                 out["prod_semvec_loss"] = SEMANTIC_WEIGHT * jax.vmap(
@@ -408,10 +407,8 @@ class Paule:
                 out["prod_tube_mel_loss"] = (
                     TUBE_MEL_WEIGHT * per_mel(prod_tube_mel, tm))
                 if want_semvec:
-                    tl = jnp.full((prod_tubes.shape[0],),
-                                  prod_tubes.shape[1])
                     pts = tube_embedder.apply(
-                        params["tube_embedder"], prod_tubes, tl,
+                        params["tube_embedder"], prod_tubes, None,
                         deterministic=True)
                     out["prod_tube_semvec"] = pts
                     ts_t = jnp.broadcast_to(target_semvec, pts.shape)

@@ -246,9 +246,15 @@ def upsample_linear(x, size):
 
 def gather_last_step(output, lens):
     """Select per-sample the hidden state at index ``lens-1``: (B, T, H), (B,)
-    -> (B, H)."""
+    -> (B, H).  ``lens=None`` means "the final step" (static slice).
+
+    Expressed as a one-hot contraction, not ``take_along_axis``: the gather's
+    transpose is a scatter-add, which XLA serializes on TPU (it cost ~4 ms
+    per planning step in the embedder backward); a one-hot matmul keeps both
+    directions on the MXU."""
+    if lens is None:
+        return output[:, -1, :]
     lens = jnp.asarray(lens)
-    idx = (lens - 1).astype(jnp.int32)[:, None, None]
-    return jnp.take_along_axis(
-        output, jnp.broadcast_to(idx, (output.shape[0], 1, output.shape[2])), axis=1
-    )[:, 0, :]
+    idx = (lens - 1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(idx, output.shape[1], dtype=output.dtype)  # (B,T)
+    return jnp.einsum("bth,bt->bh", output, onehot)

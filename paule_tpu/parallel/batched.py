@@ -83,9 +83,8 @@ def _prepare_batch(paule_obj, target_mels, target_semvecs, mesh,
     b, f, _ = target_mels.shape
 
     if target_semvecs is None:
-        lens = jnp.full((b,), f)
         target_semvecs = paule_obj._j_embed(
-            paule_obj.embedder_params, target_mels, lens)
+            paule_obj.embedder_params, target_mels, None)
     target_semvecs = jnp.asarray(target_semvecs, dtype=dtype)
 
     # initialize from the inverse model (batched)

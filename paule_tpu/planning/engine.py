@@ -104,12 +104,12 @@ def criterion(models, xx, target_mel, target_semvec, *, objective,
     pred_semvec = jnp.zeros(
         (xx.shape[0], target_semvec.shape[-1]), dtype=xx.dtype)
     if want_semvec or log_semantics:
-        lens = jnp.full((pred_mel.shape[0],), pred_mel.shape[1])
         # embedder runs in train mode during planning (reference
         # paule.py:923); for the default mel embedder (dropout=0) this is a
-        # no-op, kept for architectural parity
+        # no-op, kept for architectural parity.  lens=None -> static
+        # last-step gather (the planning mel is always full-length)
         pred_semvec = models.embedder.apply(
-            models.embedder_params, pred_mel, lens,
+            models.embedder_params, pred_mel, None,
             deterministic=False, rng=rng)
         semvec_loss = L.rmse(pred_semvec, target_semvec)
 
@@ -127,10 +127,9 @@ def criterion(models, xx, target_mel, target_semvec, *, objective,
         pred_tube_mel = models.tube_mel_model.apply(
             models.tube_mel_params, pred_tube)
         tube_mel_loss = L.rmse(pred_tube_mel, target_mel)
-        tube_lens = jnp.full((pred_tube.shape[0],), pred_tube.shape[1])
         rng_tube = jax.random.fold_in(rng, 1)
         pred_tube_semvec = models.tube_embedder.apply(
-            models.tube_embedder_params, pred_tube, tube_lens,
+            models.tube_embedder_params, pred_tube, None,
             deterministic=False, rng=rng_tube)
         tube_semvec_loss = L.rmse(pred_tube_semvec, target_semvec)
 
