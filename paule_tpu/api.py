@@ -442,8 +442,15 @@ class Paule:
         return jax.device_get(out)
 
     def _synthesize(self, cps_norm):
-        """Denormalize + synthesize on the host; returns (sig, sr[, tube])."""
+        """Denormalize + synthesize on the host; returns (sig, sr[, tube]).
+
+        Non-finite trajectories (a diverged planning step) and non-finite
+        audio raise ValueError so the ``synthesis_error`` policy applies —
+        without the guard a single NaN snapshot would silently produce NaN
+        mels and poison every model continue-learning trains."""
         cps = inv_normalize_cp(_to_np(cps_norm))
+        if not np.isfinite(cps).all():
+            raise ValueError("non-finite cp trajectory (planning diverged?)")
         if self.use_somatosensory_feedback:
             sig, sr, tube_info = \
                 self._synth_pool.speak_and_extract_tube_information(cps)
@@ -455,8 +462,12 @@ class Paule:
                  tube_info["tongue_tip_side_elevation"][:, None],
                  tube_info["velum_opening_cm2"][:, None]], axis=1)
             prod_tube = normalize_tube(prod_tube)
+            if not np.isfinite(sig).all():
+                raise ValueError("synthesizer produced non-finite audio")
             return sig, sr, prod_tube
         sig, sr = self._synth_pool.speak(cps)
+        if not np.isfinite(sig).all():
+            raise ValueError("synthesizer produced non-finite audio")
         return sig, sr, None
 
     def _prod_mel_of(self, sig, sr):

@@ -364,3 +364,32 @@ def test_per_phase_timings(paule_model, target):
     phases = (t["planning"] + t["synthesis"] + t["metrics"]
               + t["continue_learning"])
     assert phases <= t["total"] + 1e-6
+
+
+def test_non_finite_trajectory_is_a_synthesis_failure(target, monkeypatch):
+    """A diverged (NaN) snapshot must hit the synthesis_error policy instead
+    of silently producing NaN audio that poisons continue-learning."""
+    p = Paule(seed=8, synthesis_error="skip")
+    orig = p._synthesize
+
+    calls = {"n": 0}
+
+    def poisoned(cps_norm):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            bad = np.array(cps_norm, dtype=np.float64)
+            bad[0, 0] = np.nan
+            return orig(bad)
+        return orig(cps_norm)
+
+    monkeypatch.setattr(p, "_synthesize", poisoned)
+    r = p.plan_resynth(target_acoustic=target, objective="acoustic",
+                       initialize_from="acoustic", continue_learning=True,
+                       **TINY)
+    # the poisoned snapshot became silence; losses stay finite everywhere
+    assert np.isfinite(r.prod_loss_steps).all()
+    assert all(np.isfinite(l) for l in r.pred_model_loss)
+
+    p2 = Paule(seed=8, synthesis_error="raise")
+    with pytest.raises(ValueError, match="non-finite"):
+        p2._synthesize(np.full((12, 30), np.nan))
