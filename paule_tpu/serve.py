@@ -21,6 +21,9 @@ POST /synthesize   {"cp": <array (T,30)>, "normalized": true}
 POST /embed        {"mel": <array (F,60)>} -> {"semvec": <array (300,)>}
 POST /plan         {"signal": <array>, "sample_rate": int, ...plan kwargs}
                    -> planned trajectory, losses, produced audio
+POST /plan_batch   {"signals": [<array>, ...], "sample_rate": int,
+                    "max_batch": int, ...plan kwargs}
+                   -> {"results": [per-utterance planned cp/audio/losses]}
 """
 
 import base64
@@ -87,6 +90,35 @@ class PauleService:
         semvec = self.model._embed(mel[None])
         return {"semvec": encode_array(np.asarray(jax.device_get(semvec))[0])}
 
+    def plan_batch(self, payload):
+        """Plan several utterances data-parallel: {"signals": [<array>, ...],
+        "sample_rate": int, ...plan kwargs}.  Utterances bucket by exact mel
+        length (experiments.plan_corpus_batched); per-utterance results
+        return in input order."""
+        from .experiments import plan_corpus_batched
+
+        payload = dict(payload)
+        signals = [decode_array(s) for s in payload.pop("signals")]
+        sr = int(payload.pop("sample_rate", 44100))
+        max_batch = int(payload.pop("max_batch", 8))
+        allowed = {"objective", "n_outer", "n_inner", "continue_learning",
+                   "batch_size", "n_epochs", "learning_rate_planning"}
+        unknown = set(payload) - allowed
+        if unknown:
+            raise ValueError(
+                f"unknown plan_batch parameters: {sorted(unknown)}; "
+                f"allowed: {sorted(allowed)}")
+        with self._plan_lock:
+            per_utt = plan_corpus_batched(
+                self.model, [(s, sr) for s in signals], max_batch=max_batch,
+                plan_kwargs=dict(payload), verbose=False)
+        return {"results": [
+            {"planned_cp": encode_array(r["planned_cp"]),
+             "audio": encode_array(r["prod_sig"]),
+             "sample_rate": 44100,
+             "prod_loss_curve": [float(x) for x in r["prod_loss_curve"]]}
+            for r in per_utt]}
+
     def plan(self, payload):
         payload = dict(payload)
         sig = decode_array(payload.pop("signal"))
@@ -145,6 +177,8 @@ def make_server(service, host="127.0.0.1", port=8750):
                     self._send(200, service.embed(payload))
                 elif self.path == "/plan":
                     self._send(200, service.plan(payload))
+                elif self.path == "/plan_batch":
+                    self._send(200, service.plan_batch(payload))
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as exc:

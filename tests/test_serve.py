@@ -106,3 +106,34 @@ def test_unknown_plan_key_rejected(server):
                "n_outter": 50})
     assert err.value.code == 400
     assert "n_outter" in err.value.read().decode()
+
+
+def test_plan_batch(server):
+    from paule_tpu import synth
+    from paule_tpu.ops.normalize import inv_normalize_cp
+    from paule_tpu.serve import encode_array
+
+    synth.initialize()
+    rng = np.random.default_rng(2)
+    sigs = []
+    for n_cp in (16, 20):
+        cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1, -1, 1)
+        sig, _sr = synth.speak(inv_normalize_cp(cp))
+        sigs.append(sig)
+    body = _post(server + "/plan_batch", {
+        "signals": [encode_array(s) for s in sigs], "sample_rate": 44100,
+        "objective": "acoustic", "n_outer": 1, "n_inner": 2,
+        "continue_learning": False})
+    assert len(body["results"]) == 2
+    for r, n_cp in zip(body["results"], (16, 20)):
+        assert np.isfinite(r["prod_loss_curve"]).all()
+        cp_shape = np.asarray(r["planned_cp"]["shape"])
+        assert tuple(cp_shape) == (n_cp, 30)
+
+    err = None
+    try:
+        _post(server + "/plan_batch", {
+            "signals": [encode_array(sigs[0])], "bogus": 1})
+    except Exception as exc:  # urllib raises on 400
+        err = exc
+    assert err is not None
