@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .config import DTYPE
 from . import synth
-from .dsp.audio import read as audio_read, stereo_to_mono
+from .dsp.targets import audio_target_to_mel
 from .dsp.mel import librosa_melspec, melspec_44100
 from .dsp.griffinlim import mel_to_sig
 from .ops.normalize import (
@@ -464,6 +464,8 @@ class Paule:
             prod_tube = normalize_tube(prod_tube)
             if not np.isfinite(sig).all():
                 raise ValueError("synthesizer produced non-finite audio")
+            if not np.isfinite(prod_tube).all():
+                raise ValueError("synthesizer produced non-finite tube data")
             return sig, sr, prod_tube
         sig, sr = self._synth_pool.speak(cps)
         if not np.isfinite(sig).all():
@@ -543,21 +545,20 @@ class Paule:
         # ---------------- Phase A: target preparation ----------------
         target_sig = target_sr = None
         target_mel = None
-        if isinstance(target_acoustic, str):
-            target_sig, target_sr = audio_read(target_acoustic)
-            if target_sig.ndim == 2:
-                target_sig = stereo_to_mono(target_sig)
-        elif target_acoustic is None:
-            pass
-        elif len(target_acoustic) == 2:
-            target_sig, target_sr = target_acoustic
-        else:
+        if isinstance(target_acoustic, str) or (
+                isinstance(target_acoustic, (tuple, list))
+                and len(target_acoustic) == 2):
+            # audio target (path or (sig, sr)): the min-shift target-mel
+            # convention is centralized in dsp.targets — same helper as
+            # plan_iterative and plan_corpus_batched
+            target_sig, target_sr, mel = audio_target_to_mel(target_acoustic)
+            target_mel = mel[None]
+            target_seq_length = target_mel.shape[1]
+        elif target_acoustic is not None:
             target_mel = _to_np(target_acoustic)
             if target_mel.ndim == 2:
                 target_mel = target_mel[None]
             target_seq_length = target_mel.shape[1]
-            target_sig = None
-            target_sr = None
 
         if target_acoustic is None and (target_seq_length is None
                                         or target_semvec is None):
@@ -573,12 +574,6 @@ class Paule:
                 self.mel_gen_params, noise, int(target_seq_length), semvec)
             target_mel = _to_np(target_mel)
             target_sig, target_sr = mel_to_sig(target_mel[0])
-        elif target_mel is None:
-            # shared min-shift convention (dsp.targets docstring)
-            from .dsp.targets import normalized_target_mel
-
-            target_mel = normalized_target_mel(target_sig, target_sr)[None]
-            target_seq_length = target_mel.shape[1]
 
         target_mel_dev = jnp.asarray(target_mel, dtype=self.dtype)
 
@@ -731,7 +726,7 @@ class Paule:
         prod_mel = initial_prod_mel
         pred_mel_last = initial_pred_mel
 
-        start_time = time.time()
+        start_perf = time.perf_counter()
         # per-phase wall-clock split (beyond the reference's single final
         # print): planning scan+log fetch / host synthesis / produced-audio
         # metrics / continue-learning.  Exposed as
@@ -1077,7 +1072,7 @@ class Paule:
                 "pred_tube_semvec": final_host["pred_tube_semvec"],
             }
 
-        timings["total"] = time.time() - start_time
+        timings["total"] = time.perf_counter() - start_perf
         self.last_planning_timings = timings
         print("--- %.2f min ---" % (timings["total"] / 60))
         if verbose:

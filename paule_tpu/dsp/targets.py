@@ -24,8 +24,8 @@ def audio_target_to_mel(target):
     """Audio file path or ``(sig, sr)`` -> ``(sig, sr, target_mel)``."""
     if isinstance(target, str):
         sig, sr = audio_read(target)
-        if getattr(sig, "ndim", 1) == 2:
-            sig = stereo_to_mono(sig)
     else:
         sig, sr = target
+    if getattr(sig, "ndim", 1) == 2:
+        sig = stereo_to_mono(sig)
     return sig, sr, normalized_target_mel(sig, sr)

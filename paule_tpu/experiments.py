@@ -210,6 +210,26 @@ def collect_results(save_dir, *, out_txt="results_loss.txt",
     rows = []
     for root, _dirs, names in os.walk(save_dir):
         for name in sorted(names):
+            if name.endswith("_batched.pkl"):
+                # plan_corpus_batched per-utterance dicts
+                with open(os.path.join(root, name), "rb") as fh:
+                    res = pickle.load(fh)
+                rows.append({
+                    "file": name[: -len("_batched.pkl")],
+                    "label": os.path.basename(root),
+                    "prod_loss": float(res["prod_loss_curve"][-1]),
+                    "planned_loss": np.nan,
+                    "planned_mel_loss": np.nan,
+                    "vel_loss": np.nan,
+                    "jerk_loss": np.nan,
+                    "prod_semvec_loss": float(
+                        res["prod_semvec_loss_curve"][-1])
+                    if "prod_semvec_loss_curve" in res else np.nan,
+                    "planned_cp": res["planned_cp"],
+                    "prod_mel": res["prod_mel"],
+                    "prod_semvec": None,
+                })
+                continue
             if (not name.endswith("_results.pkl")
                     or name == "final_results.pkl"):
                 continue

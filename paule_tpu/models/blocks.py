@@ -255,6 +255,9 @@ def gather_last_step(output, lens):
     if lens is None:
         return output[:, -1, :]
     lens = jnp.asarray(lens)
-    idx = (lens - 1).astype(jnp.int32)
+    # clamp into range: out-of-range lens must select a real step (the old
+    # gather's wrapping picked SOME step; all-zero one-hot rows would
+    # silently return zero embeddings)
+    idx = jnp.clip(lens - 1, 0, output.shape[1] - 1).astype(jnp.int32)
     onehot = jax.nn.one_hot(idx, output.shape[1], dtype=output.dtype)  # (B,T)
     return jnp.einsum("bth,bt->bh", output, onehot)

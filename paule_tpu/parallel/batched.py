@@ -229,7 +229,23 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
         sub_losses_all.append(jax.device_get(logs["sub_losses"]))
 
         cps = np.asarray(jax.device_get(xx), dtype=np.float64)
-        results = list(paule_obj._executor.map(paule_obj._synthesize, cps))
+
+        def synth_one(cp):
+            # honor the model's synthesis_error policy per utterance, like
+            # plan_resynth: 'skip' substitutes silence so one diverged
+            # utterance cannot kill the whole batch
+            try:
+                return paule_obj._synthesize(cp)
+            except Exception as exc:  # noqa: BLE001
+                if paule_obj.synthesis_error == "raise":
+                    raise
+                print(f"WARNING: batch synthesis failed ({exc}); "
+                      "substituting silence")
+                n_audio = max(0, cp.shape[0] - 1) * 110
+                tube = (np.zeros((cp.shape[0], 10)) if use_somato else None)
+                return np.zeros(n_audio), 44100, tube
+
+        results = list(paule_obj._executor.map(synth_one, cps))
         sigs = [sig for sig, _sr, _tube in results]
         prod_tubes = (np.stack([tube for _s, _r, tube in results])
                       if use_somato else None)

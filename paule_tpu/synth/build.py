@@ -35,7 +35,10 @@ def _cpu_tag():
                     feats = line
                     break
     except OSError:
-        pass
+        # no /proc (macOS): fall back to the full platform string; without
+        # per-feature info we also don't emit -march=native (see build()),
+        # so the artifact is portable across same-arch machines anyway
+        feats = platform.platform() + platform.processor()
     return hashlib.sha256(
         (platform.machine() + feats).encode()).hexdigest()[:16]
 
@@ -63,14 +66,18 @@ def build(force=False, verbose=False):
     os.makedirs(BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-std=c++17", "-O3", "-fPIC", "-shared",
-        # library is built per machine on first use (gitignored), so native
-        # codegen is safe; -fno-math-errno lets sqrt inline to the hardware
-        # instruction (the per-sample loop carries several sqrts)
-        "-march=native", "-fno-math-errno",
+        # -fno-math-errno lets sqrt inline to the hardware instruction (the
+        # per-sample loop carries several sqrts)
+        "-fno-math-errno",
         "-Wall", "-Wextra",
         *(os.path.join(CSRC, s) for s in SOURCES),
         "-o", LIB_PATH,
     ]
+    if sys.platform.startswith("linux"):
+        # native codegen is safe here: the artifact is keyed to the host's
+        # CPU-feature fingerprint (cpu.tag) and rebuilt on mismatch; Apple
+        # clang rejects -march=native, so macOS builds stay generic
+        cmd.insert(5, "-march=native")
     if verbose:
         print("[paule_tpu.synth] building:", " ".join(cmd))
     result = subprocess.run(cmd, capture_output=True, text=True)

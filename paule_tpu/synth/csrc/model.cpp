@@ -514,6 +514,7 @@ void Waveguide::reset() {
   nfwd_.fill(0.0);
   nbwd_.fill(0.0);
   lip_lp_ = lip_out_prev_ = radiated_prev_ = nose_lp_ = fric_lp_ = 0.0;
+  nasal_cooldown_ = 0;
 }
 
 void Waveguide::set_tube(const Tube& tube) {
@@ -629,12 +630,19 @@ double Waveguide::step(double glottal_flow) {
     nfwd_[0] = pj - nb0;
   }
 
-  // nasal tract propagation + nostril radiation
+  // nasal tract propagation + nostril radiation.  While the velar port is
+  // open the 3-port junction above drives nfwd_[0]; when it closes, the
+  // velar end becomes a (damped) closed-tube reflection so trapped energy
+  // drains through the nostrils instead of freezing in nfwd_[0] and
+  // re-driving the branch forever.  A cooldown bounds the extra work: once
+  // the residual has decayed (~70 ms), the branch state clears and the
+  // loop stops running.
   double nose_out = 0.0;
-  if (nasal_on || std::abs(nfwd_[0]) > 1e-12) {
+  if (nasal_on) nasal_cooldown_ = 3000;
+  if (nasal_on || nasal_cooldown_ > 0) {
     constexpr int NN = kNasalSections;
     double nf[NN], nb[NN];
-    nf[0] = nfwd_[0];
+    nf[0] = nasal_on ? nfwd_[0] : nbwd_[0] * kDamp;
     double nose_in = nfwd_[NN - 1] * kDamp;
     nose_lp_ += 0.45 * (nose_in - nose_lp_);
     nb[NN - 1] = -0.80 * nose_lp_;
@@ -648,6 +656,11 @@ double Waveguide::step(double glottal_flow) {
     }
     std::memcpy(nfwd_.data(), nf, sizeof(nf));
     std::memcpy(nbwd_.data(), nb, sizeof(nb));
+    if (!nasal_on && --nasal_cooldown_ == 0) {
+      nfwd_.fill(0.0);
+      nbwd_.fill(0.0);
+      nose_lp_ = 0.0;
+    }
   }
 
   // frication: inject bandlimited noise downstream of a narrow supraglottal

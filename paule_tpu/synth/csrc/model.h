@@ -167,6 +167,7 @@ class Waveguide {
   int fric_i_ = 0;
   double fric_amp_ = 0.0;  // 0 when no narrow constriction
   bool nasal_k_ready_ = false;
+  int nasal_cooldown_ = 0;  // samples of residual-decay after port closure
 };
 
 // full synthesizer instance: owns speaker, interpolation state and engine

@@ -350,3 +350,20 @@ def test_length_params_shift_formants():
     fl = f1(np.asarray(synth.get_transfer_function(longer, 513)[0]))
     fs = f1(np.asarray(synth.get_transfer_function(shorter, 513)[0]))
     assert fs > fl, (fl, fs)
+
+
+def test_nasal_energy_decays_after_velum_closes(neutral_cp):
+    """Residual nasal-branch energy must drain after the velar port closes
+    (it used to freeze in the branch input and re-drive the nasal tract
+    forever, leaving a constant coloration instead of decay)."""
+    n = 241  # ~0.6 s
+    cp = _tile(neutral_cp, n)
+    cp[:80, 7] = 0.8       # VO: velum open (nasal)
+    cp[80:, 7] = -0.1      # velum closed
+    cp[120:, 20] = 0.0     # PR: pressure off -> no source at all
+    sig, sr = synth.speak(cp)
+    # well after source-off + closure, the tail must be essentially silent
+    tail = sig[-int(0.1 * sr):]
+    body = sig[: 80 * 110]
+    assert np.sqrt((tail**2).mean()) < 1e-6 * max(
+        np.sqrt((body**2).mean()), 1e-12)
