@@ -1,0 +1,94 @@
+// Fast transcendental approximations for the audio-rate synthesis path.
+//
+// The per-sample glottis oscillation (p^skew, sin^2) and the per-frame tract
+// geometry (hundreds of gaussians + powers per tract_to_tube call) are
+// libm-bound; these near-minimax polynomial replacements are 3-10x faster at
+// accuracies far below audibility:
+//
+//   fast_exp2   rel error < 3e-9    (degree-6 on the [0,1) fraction)
+//   fast_log2   abs error < 5e-8    (degree-8 on the [1,2) mantissa)
+//   cospi_half  abs error < 3e-10   (degree-5 in v^2 on [-1/2, 1/2])
+//
+// NOT general-purpose: restricted domains, no NaN/inf propagation.  Keep
+// libm for anything outside the audio-rate hot loops.
+
+#pragma once
+
+#include <cmath>
+#include <cstdint>
+
+namespace pts {
+
+// 2^x; underflows to 0, clamps near the overflow edge.
+inline double fast_exp2(double x) {
+  double xi = std::floor(x);
+  double f = x - xi;  // [0, 1)
+  double p =
+      1.0000000025868891 +
+      f * (0.693146928693029 +
+           f * (0.24023050204499768 +
+                f * (0.05548042632577707 +
+                     f * (0.009684580452328492 +
+                          f * (0.0012387821478955943 +
+                               f * 0.00021877504770057688)))));
+  int64_t e = (int64_t)xi + 1023;
+  if (e <= 0) return 0.0;
+  if (e >= 2047) e = 2046;
+  union {
+    uint64_t u;
+    double d;
+  } v;
+  v.u = (uint64_t)e << 52;
+  return v.d * p;
+}
+
+inline double fast_exp(double x) {
+  return fast_exp2(x * 1.4426950408889634);
+}
+
+// log2(x) for finite normal x > 0.
+inline double fast_log2(double x) {
+  union {
+    double d;
+    uint64_t u;
+  } v;
+  v.d = x;
+  int64_t e = (int64_t)(v.u >> 52) - 1023;
+  v.u = (v.u & 0x000fffffffffffffULL) | 0x3ff0000000000000ULL;
+  double t = v.d - 1.0;  // [0, 1)
+  double p =
+      4.8863580334963816e-08 +
+      t * (1.4426867778259658 +
+           t * (-0.7211146144034014 +
+                t * (0.4783235448678622 +
+                     t * (-0.34599601243364225 +
+                          t * (0.23923166297286413 +
+                               t * (-0.13453425419894569 +
+                                    t * (0.05027750737057517 +
+                                         t * -0.008874696651227329)))))));
+  return (double)e + p;
+}
+
+// a^b for a >= 0 (a == 0 returns 0 for positive b by underflow).
+inline double fast_pow(double a, double b) {
+  return fast_exp2(b * fast_log2(a));
+}
+
+// cos(pi v) for v in [-1/2, 1/2].
+inline double fast_cospi_half(double v) {
+  double u = v * v;
+  return 0.9999999997799052 +
+         u * (-4.934802137078843 +
+              u * (4.058709159556513 +
+                   u * (-1.335212003052287 +
+                        u * (0.2349373138236159 +
+                             u * -0.024396324360926345))));
+}
+
+// sin(pi p)^2 for p in [0, 1]  (sin(pi p) = cos(pi (p - 1/2))).
+inline double fast_sinpi_sq(double p) {
+  double s = fast_cospi_half(p - 0.5);
+  return s * s;
+}
+
+}  // namespace pts

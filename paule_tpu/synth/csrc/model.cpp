@@ -9,6 +9,8 @@
 #include <fstream>
 #include <sstream>
 
+#include "fastmath.h"
+
 namespace pts {
 
 namespace {
@@ -19,7 +21,7 @@ double clampd(double v, double lo, double hi) {
 
 double gauss(double x, double c, double w) {
   double z = (x - c) / w;
-  return std::exp(-0.5 * z * z);
+  return fast_exp(-0.5 * z * z);
 }
 
 double lerp(double a, double b, double t) { return a + (b - a) * t; }
@@ -269,6 +271,9 @@ struct TractGeometry {
   double c_body, p_body, c_blade, p_blade, c_tip, p_tip, c_root, p_root;
   double try_narrow;
   double ts1, ts2, ts3;
+  // constriction amplitudes (hoisted out of the per-section loop: they
+  // depend only on the proximity values, not on x)
+  double a_body, a_blade, a_tip, a_root;
 };
 
 TractGeometry make_geometry(const Speaker& spk, const double* q) {
@@ -298,6 +303,10 @@ TractGeometry make_geometry(const Speaker& spk, const double* q) {
   g.ts1 = clampd(TS1, 0.0, 1.0);
   g.ts2 = clampd(TS2, 0.0, 1.0);
   g.ts3 = clampd(TS3, -1.0, 1.0);
+  g.a_body = 1.60 * g.p_body * g.p_body * g.p_body;
+  g.a_blade = 1.50 * g.p_blade * g.p_blade;
+  g.a_tip = 1.30 * g.p_tip * g.p_tip;
+  g.a_root = 0.70 * g.p_root * g.p_root + 0.25 * g.try_narrow;
   return g;
 }
 
@@ -307,10 +316,10 @@ double TractGeometry::d(double x) const {
   // the proximity nonlinearity keeps vowel articulations open while extreme
   // positions (stops) still reach full closure.  The tongue is one surface:
   // its members combine by max, not by sum.
-  double body = 1.60 * std::pow(p_body, 3.0) * gauss(x, c_body, 0.12);
-  double blade = 1.50 * std::pow(p_blade, 2.0) * gauss(x, c_blade, 0.08);
-  double tip = 1.30 * std::pow(p_tip, 2.0) * gauss(x, c_tip, 0.05);
-  double root = (0.70 * p_root * p_root + 0.25 * try_narrow) * gauss(x, c_root, 0.10);
+  double body = a_body * gauss(x, c_body, 0.12);
+  double blade = a_blade * gauss(x, c_blade, 0.08);
+  double tip = a_tip * gauss(x, c_tip, 0.05);
+  double root = a_root * gauss(x, c_root, 0.10);
   dist -= std::max(std::max(body, blade), std::max(tip, root));
   // velum lowering narrows the velar passage slightly
   dist -= 0.30 * vs * gauss(x, 0.50, 0.05);
@@ -336,7 +345,7 @@ void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube) {
   for (int i = 0; i < kTubeSections; ++i) {
     double x = (i + 0.5) / kTubeSections;
     double dist = std::max(g.d(x), 0.0);
-    double area = g.w(x) * std::pow(dist, 1.3);
+    double area = g.w(x) * fast_pow(dist, 1.3);
     // tongue side elevation reduces lateral area in its zone; a negative
     // TS3 (lowered sides) keeps a lateral bypass open at the tip
     area *= 1.0 - 0.45 * g.ts1 * gauss(x, 0.58, 0.10);
@@ -473,11 +482,10 @@ double GlottisState::step(double* area_out) {
   const double skew = skew_;
   auto osc_fn = [skew](double p) {
     p -= std::floor(p);
-    // p^skew via exp(skew*log p) — ~2x cheaper than pow, exact same limit
-    // at p->0 (log -> -inf, exp -> 0)
-    double ps = (p > 0.0) ? std::exp(skew * std::log(p)) : 0.0;
-    double s = std::sin(M_PI * ps);
-    return s * s;
+    // p^skew then sin^2(pi*) via polynomial approximations (fastmath.h);
+    // p -> 0 still limits to 0 (log2 -> -inf, exp2 underflows to 0)
+    double ps = (p > 0.0) ? fast_pow(p, skew) : 0.0;
+    return fast_sinpi_sq(ps > 1.0 ? 1.0 : ps);
   };
   double osc_b = osc_fn(phase);
   double osc_t = osc_fn(phase - lag_phase_);
@@ -563,6 +571,8 @@ void Waveguide::set_tube(const Tube& tube) {
 
   a_port_ = tube.velum_opening_cm2;
   iv_ = (int)(0.48 * M);  // velar junction index
+  // three-port junction scale (division hoisted out of the sample loop)
+  port_scale_ = 2.0 / (A_[iv_] + A_[iv_ + 1] + a_port_);
 
   // nasal branch geometry: smooth fixed profile (constant coefficients)
   if (!nasal_k_ready_) {
@@ -624,7 +634,7 @@ double Waveguide::step(double glottal_flow) {
     double bi1 = bwd_[i + 1] * kDamp;
     double nb0 = nbwd_[0] * kDamp;
     double y1 = A_[i], y2 = A_[i + 1], y3 = a_port_;
-    double pj = 2.0 * (y1 * fi + y2 * bi1 + y3 * nb0) / (y1 + y2 + y3);
+    double pj = (y1 * fi + y2 * bi1 + y3 * nb0) * port_scale_;
     newb[i] = pj - fi;
     newf[i + 1] = pj - bi1;
     nfwd_[0] = pj - nb0;
@@ -699,14 +709,24 @@ void Synthesizer::reset() {
   has_tube_state_ = false;
   cur_tract_.fill(0.0);
   cur_glottis_.fill(0.0);
+  ramp_cache_valid_ = false;
 }
 
 void Synthesizer::synth_ramp(const double* tract0, const double* glottis0,
                              const double* tract1, const double* glottis1,
                              int n, double* audio) {
   Tube t0, t1;
-  tract_to_tube(speaker_, tract0, &t0);
+  if (ramp_cache_valid_ &&
+      std::memcmp(ramp_cache_tract_.data(), tract0,
+                  sizeof(ramp_cache_tract_)) == 0) {
+    t0 = ramp_cache_tube_;
+  } else {
+    tract_to_tube(speaker_, tract0, &t0);
+  }
   tract_to_tube(speaker_, tract1, &t1);
+  std::memcpy(ramp_cache_tract_.data(), tract1, sizeof(ramp_cache_tract_));
+  ramp_cache_tube_ = t1;
+  ramp_cache_valid_ = true;
   Tube t = t0;
   double gp[kGlottisParams];
   for (int s = 0; s < n; ++s) {

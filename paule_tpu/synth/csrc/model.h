@@ -164,6 +164,7 @@ class Waveguide {
   double src_scale_ = 0.0, lip_refl_ = -0.9;
   int iv_ = 0;
   double a_port_ = 0.0;
+  double port_scale_ = 0.0;  // 2 / (sum of 3-port admittances)
   int fric_i_ = 0;
   double fric_amp_ = 0.0;  // 0 when no narrow constriction
   bool nasal_k_ready_ = false;
@@ -208,6 +209,12 @@ class Synthesizer {
   std::array<double, kGlottisParams> cur_glottis_{};
   bool has_tube_state_ = false;
   Tube cur_tube_{};
+  // tract->tube cache: the ramp start tract of frame f equals the ramp end
+  // tract of frame f-1, so each frame needs only ONE tract_to_tube call
+  // (it is libm-heavy).  Keyed on the exact tract bytes for safety.
+  bool ramp_cache_valid_ = false;
+  std::array<double, kTractParams> ramp_cache_tract_{};
+  Tube ramp_cache_tube_{};
 };
 
 // vocal-tract transfer function: magnitude/phase of the tube's frequency
