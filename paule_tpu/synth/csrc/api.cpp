@@ -108,7 +108,7 @@ int pts_speak_and_extract_h(void* h, const double* tract,
     int failure = synth->add_tract(n_samples, out, tr, gl);
     if (failure != 0) return failure;
     Tube tube;
-    tract_to_tube(synth->speaker(), tr, &tube);
+    synth->tube_for(tr, &tube);  // cache hit: synthesis just computed it
     std::memcpy(tube_length + (size_t)i * kTubeSections,
                 tube.length_cm.data(), sizeof(double) * kTubeSections);
     std::memcpy(tube_area + (size_t)i * kTubeSections,

@@ -889,6 +889,17 @@ int save_speaker(const Speaker& spk, const std::string& path) {
   return 0;
 }
 
+void Synthesizer::tube_for(const double* tract, Tube* out) {
+  if (!(ramp_cache_valid_ &&
+        std::memcmp(ramp_cache_tract_.data(), tract,
+                    sizeof(ramp_cache_tract_)) == 0)) {
+    tract_to_tube(speaker_, tract, &ramp_cache_tube_);
+    std::memcpy(ramp_cache_tract_.data(), tract, sizeof(ramp_cache_tract_));
+    ramp_cache_valid_ = true;
+  }
+  *out = ramp_cache_tube_;
+}
+
 int Synthesizer::add_tract(int n_samples, double* audio, const double* tract,
                            const double* glottis) {
   if (!has_state_ || n_samples <= 0) {

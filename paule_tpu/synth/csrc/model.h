@@ -196,6 +196,11 @@ class Synthesizer {
                const double* tube_lengths, const double* glottis,
                double velum_opening_cm2);
 
+  // tract->tube through the ramp cache: tube extraction right after
+  // add_tract(tract) reuses the tube that synthesis just computed, and
+  // primes the cache for the next ramp otherwise
+  void tube_for(const double* tract, Tube* out);
+
  private:
   void synth_ramp(const double* tract0, const double* glottis0,
                   const double* tract1, const double* glottis1, int n,
