@@ -419,8 +419,12 @@ class Paule:
         return fn
 
     def _prod_metrics(self, sigs, snaps_dev, prod_tubes, target_mel_dev,
-                      target_semvec_dev, want_semvec):
-        """Run the batched produced-audio metrics; returns host numpy."""
+                      target_semvec_dev, want_semvec, sig_devs=None):
+        """Run the batched produced-audio metrics; returns host numpy.
+
+        ``sig_devs`` (optional): per-signal device arrays whose uploads were
+        already started during synthesis; stacking them on device skips the
+        blocking bulk transfer here."""
         params = {"embedder": self.embedder_params}
         if self.use_speech_classifier:
             params["speech_classifier"] = self.speech_classifier_params
@@ -429,7 +433,10 @@ class Paule:
             params["tube_mel"] = self.tube_mel_trainer.params
             params["tube_embedder"] = self.tube_embedder_params
         host_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
-        sigs_dev = jnp.asarray(np.asarray(sigs, dtype=host_dtype))
+        if sig_devs is not None:
+            sigs_dev = jnp.stack(sig_devs)
+        else:
+            sigs_dev = jnp.asarray(np.asarray(sigs, dtype=host_dtype))
         if prod_tubes is not None:
             tubes_dev = jnp.asarray(
                 np.asarray(prod_tubes, dtype=host_dtype))
@@ -841,6 +848,11 @@ class Paule:
                         for s in range(n_segments)]
 
             syntheses = []
+            sig_devs = []  # per-signal async uploads, started as each
+            # synthesis completes so the host->device transfer (a tunnel
+            # round-trip) overlaps with the remaining synthesis jobs
+            host_dtype = (np.float64 if self.dtype == jnp.float64
+                          else np.float32)
             for s, job in enumerate(run_jobs()):
                 try:
                     syntheses.append(job())
@@ -855,6 +867,8 @@ class Paule:
                                    else None)
                     syntheses.append((np.zeros(n_audio), 44100,
                                       silent_tube))
+                sig_devs.append(jax.device_put(
+                    np.asarray(syntheses[-1][0], dtype=host_dtype)))
             sigs = np.stack([s_[0] for s_ in syntheses])
             sr = syntheses[-1][1]
             sig = sigs[-1]
@@ -870,7 +884,7 @@ class Paule:
             # ---- produced-audio metrics: one batched program + one fetch --
             pm = self._prod_metrics(sigs, snaps_dev, prod_tubes,
                                     target_mel_dev, target_semvec_dev,
-                                    want_semvec)
+                                    want_semvec, sig_devs=sig_devs)
             prod_mels_np = np.asarray(pm["prod_mel"], dtype=np.float64)
             prod_mel = prod_mels_np[-1]
             pred_mel_last = pred_mels[-1]

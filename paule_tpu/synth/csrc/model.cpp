@@ -11,9 +11,27 @@
 
 #include "fastmath.h"
 
+#if defined(__SSE2__) || defined(_M_X64)
+#include <xmmintrin.h>
+#define PTS_HAVE_SSE 1
+#endif
+
 namespace pts {
 
 namespace {
+
+// Flush-to-zero/denormals-are-zero for the synthesis hot loops: the damped
+// waveguide recurrences decay residual wave components through the denormal
+// range, where x86 FP traps to microcode (10-100x per op).  Audibly the
+// flushed values are ~1e-308.  RAII-restored so callers' (numpy's) FP
+// environment is untouched.
+struct ScopedFtz {
+#if defined(PTS_HAVE_SSE)
+  unsigned int saved_;
+  ScopedFtz() : saved_(_mm_getcsr()) { _mm_setcsr(saved_ | 0x8040u); }
+  ~ScopedFtz() { _mm_setcsr(saved_); }
+#endif
+};
 
 double clampd(double v, double lo, double hi) {
   return v < lo ? lo : (v > hi ? hi : v);
@@ -754,6 +772,7 @@ void Synthesizer::synth_ramp(const double* tract0, const double* glottis0,
 int Synthesizer::synth_block(const double* tract, const double* glottis,
                              int n_frames, int frame_steps, double* audio) {
   if (n_frames < 1 || frame_steps < 1) return 2;
+  ScopedFtz ftz;
   reset();
   std::memcpy(cur_tract_.data(), tract, sizeof(cur_tract_));
   std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
@@ -772,6 +791,7 @@ int Synthesizer::synth_block(const double* tract, const double* glottis,
 int Synthesizer::add_tube(int n_samples, double* audio,
                           const double* tube_areas, const double* tube_lengths,
                           const double* glottis, double velum_opening_cm2) {
+  ScopedFtz ftz;
   Tube target{};
   for (int i = 0; i < kTubeSections; ++i) {
     target.area_cm2[i] = clampd(tube_areas[i], 0.0, 15.0);
@@ -823,6 +843,7 @@ void tract_transfer_function(const Speaker& spk, const double* tract,
                              int n_points, double* magnitude, double* phase) {
   // impulse response of the static tube through the waveguide, then a DFT at
   // n_points uniformly spaced frequencies up to Nyquist
+  ScopedFtz ftz;
   Tube tube;
   tract_to_tube(spk, tract, &tube);
   Waveguide wg;
@@ -902,6 +923,7 @@ void Synthesizer::tube_for(const double* tract, Tube* out) {
 
 int Synthesizer::add_tract(int n_samples, double* audio, const double* tract,
                            const double* glottis) {
+  ScopedFtz ftz;
   if (!has_state_ || n_samples <= 0) {
     std::memcpy(cur_tract_.data(), tract, sizeof(cur_tract_));
     std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));
