@@ -23,10 +23,33 @@ if _X64:
 # Persistent XLA compilation cache: planning programs (25-step scans over
 # LSTMs) take tens of seconds to compile; caching them on disk makes every
 # process after the first start hot.  Opt out with PAULE_TPU_NO_CACHE=1.
+# The directory is suffixed with a host-CPU fingerprint: XLA:CPU caches AOT
+# machine code and loading an artifact compiled for different CPU features
+# can SIGILL (observed as loader warnings when a cache moves between hosts).
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:  # pragma: no cover - no /proc (macOS)
+        import platform
+
+        feats = platform.platform()
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
+
 if os.environ.get("PAULE_TPU_NO_CACHE", "0") != "1":
     _cache_dir = os.environ.get(
         "PAULE_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "paule_tpu_xla"))
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     f"paule_tpu_xla_{_cpu_fingerprint()}"))
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -245,13 +245,20 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
                 tube = (np.zeros((cp.shape[0], 10)) if use_somato else None)
                 return np.zeros(n_audio), 44100, tube
 
-        results = list(paule_obj._executor.map(synth_one, cps))
+        # start each signal's host->device upload as its synthesis finishes
+        # so the transfer overlaps with the remaining utterances' synthesis
+        results, sig_devs = [], []
+        host_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        for res in paule_obj._executor.map(synth_one, cps):
+            results.append(res)
+            sig_devs.append(jax.device_put(
+                np.asarray(res[0], dtype=host_dtype)))
         sigs = [sig for sig, _sr, _tube in results]
         prod_tubes = (np.stack([tube for _s, _r, tube in results])
                       if use_somato else None)
         pm = paule_obj._prod_metrics(
             np.stack(sigs), xx, prod_tubes, target_mels, target_semvecs,
-            want_semvec)
+            want_semvec, sig_devs=sig_devs)
         log_curves(pm)
         prod_mels_host = np.asarray(pm["prod_mel"], dtype=np.float64)
         if verbose:

@@ -139,6 +139,26 @@ def test_tube_info_contract(neutral_cp):
     assert "tongue" in labels and "vocal folds" in labels
 
 
+def test_extracted_tubes_match_direct_queries(neutral_cp):
+    """speak_and_extract reuses the synthesis ramp's tract->tube cache; the
+    extracted per-frame tubes must equal independent tract_to_tube queries
+    (a stale or mis-keyed cache would silently skew somatosensory data)."""
+    n = 9
+    cps = _tile(neutral_cp, n)
+    cps[:, 3] = np.linspace(-5.0, -2.0, n)   # JA: move the jaw over time
+    cps[:, 8] = np.linspace(-1.0, 1.5, n)    # TCX: move the tongue body
+    _a, _sr, tube = synth.speak_and_extract_tube_information(cps)
+    for f in range(n):
+        length, area, _art, incisor, _tts, velum = synth.tract_to_tube(
+            cps[f, :19])
+        np.testing.assert_allclose(tube["tube_length_cm"][f], length,
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(tube["tube_area_cm2"][f], area,
+                                   rtol=0, atol=0)
+        assert tube["incisor_pos_cm"][f] == incisor
+        assert tube["velum_opening_cm2"][f] == velum
+
+
 def test_area_info_within_oral_cavity(neutral_cp):
     _a, _sr, tube = synth.speak_and_extract_tube_information(
         _tile(neutral_cp, 5))
