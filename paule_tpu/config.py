@@ -29,20 +29,16 @@ if _X64:
 
 
 def _cpu_fingerprint() -> str:
-    import hashlib
+    # single source of truth: synth/build.py's _cpu_tag (loaded by file path
+    # to avoid a circular import through the synth package init)
+    import importlib.util
 
-    feats = ""
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                if line.startswith(("flags", "Features")):
-                    feats = line
-                    break
-    except OSError:  # pragma: no cover - no /proc (macOS)
-        import platform
-
-        feats = platform.platform()
-    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    path = os.path.join(os.path.dirname(__file__), "synth", "build.py")
+    spec = importlib.util.spec_from_file_location("_paule_tpu_synth_build",
+                                                  path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._cpu_tag()
 
 
 if os.environ.get("PAULE_TPU_NO_CACHE", "0") != "1":

@@ -256,8 +256,10 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
         sigs = [sig for sig, _sr, _tube in results]
         prod_tubes = (np.stack([tube for _s, _r, tube in results])
                       if use_somato else None)
+        # sigs=None: the audio is already on device (sig_devs); the host
+        # copies live on in the result's prod_sigs
         pm = paule_obj._prod_metrics(
-            np.stack(sigs), xx, prod_tubes, target_mels, target_semvecs,
+            None, xx, prod_tubes, target_mels, target_semvecs,
             want_semvec, sig_devs=sig_devs)
         log_curves(pm)
         prod_mels_host = np.asarray(pm["prod_mel"], dtype=np.float64)

@@ -53,7 +53,8 @@ def _needs_build():
     except OSError:
         return True
     lib_mtime = os.path.getmtime(LIB_PATH)
-    for src in SOURCES + ["model.h"]:
+    headers = [f for f in os.listdir(CSRC) if f.endswith(".h")]
+    for src in SOURCES + headers:
         if os.path.getmtime(os.path.join(CSRC, src)) > lib_mtime:
             return True
     return False

@@ -69,8 +69,10 @@ inline double fast_log2(double x) {
   return (double)e + p;
 }
 
-// a^b for a >= 0 (a == 0 returns 0 for positive b by underflow).
+// a^b for a >= 0, b > 0 (a <= 0 returns 0; the explicit guard also covers
+// -0.0, whose sign bit would otherwise corrupt fast_log2's exponent read).
 inline double fast_pow(double a, double b) {
+  if (a <= 0.0) return 0.0;
   return fast_exp2(b * fast_log2(a));
 }
 
