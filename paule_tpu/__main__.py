@@ -56,7 +56,7 @@ def _make_paule(args):
 def cmd_sysinfo(_args):
     from . import sysinfo
 
-    print(sysinfo())
+    sysinfo()  # prints; returns None
 
 
 def cmd_plan(args):

@@ -95,6 +95,9 @@ def plan_corpus(paule_model, files, save_dir, *, semvec_lookup=None,
     plan_kwargs.setdefault("verbose", False)
 
     os.makedirs(save_dir, exist_ok=True)
+    if not files and verbose:
+        print("plan_corpus: no target files to plan (corpus empty or "
+              "everything already planned)")
     result_files = []
     for i, path in enumerate(files):
         label = label_of(path)
@@ -255,11 +258,14 @@ def collect_results(save_dir, *, out_txt="results_loss.txt",
                 "prod_semvec": res.prod_semvec,
             }
             rows.append(row)
-    final = pd.DataFrame(rows)
-    if out_txt:
-        cols = ["file", "label", "prod_loss", "planned_loss",
+    all_cols = ["file", "label", "prod_loss", "planned_loss",
                 "planned_mel_loss", "vel_loss", "jerk_loss",
-                "prod_semvec_loss"]
+                "prod_semvec_loss", "planned_cp", "prod_mel", "prod_semvec"]
+    # explicit columns so an empty corpus yields an empty frame with the
+    # documented schema instead of a KeyError on the column selection below
+    final = pd.DataFrame(rows, columns=all_cols)
+    if out_txt:
+        cols = all_cols[:8]
         final[cols].to_csv(os.path.join(save_dir, out_txt), sep="\t",
                            index=False)
     if out_pickle:
