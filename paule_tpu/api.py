@@ -419,12 +419,15 @@ class Paule:
         return fn
 
     def _prod_metrics(self, sigs, snaps_dev, prod_tubes, target_mel_dev,
-                      target_semvec_dev, want_semvec, sig_devs=None):
+                      target_semvec_dev, want_semvec, sig_devs=None,
+                      return_device=False):
         """Run the batched produced-audio metrics; returns host numpy.
 
         ``sig_devs`` (optional): per-signal device arrays whose uploads were
         already started during synthesis; stacking them on device skips the
-        blocking bulk transfer here."""
+        blocking bulk transfer here.  With ``return_device=True`` also
+        returns the device-resident ``{"prod_mel", "prod_tube"}`` arrays so
+        continue-learning can train on them without re-uploading."""
         params = {"embedder": self.embedder_params}
         if self.use_speech_classifier:
             params["speech_classifier"] = self.speech_classifier_params
@@ -434,7 +437,12 @@ class Paule:
             params["tube_embedder"] = self.tube_embedder_params
         host_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
         if sig_devs is not None:
-            sigs_dev = jnp.stack(sig_devs)
+            if sig_devs[0].ndim == 1:  # per-signal uploads
+                sigs_dev = jnp.stack(sig_devs)
+            elif len(sig_devs) == 1:  # one pre-stacked chunk
+                sigs_dev = sig_devs[0]
+            else:  # chunked (k, n) uploads
+                sigs_dev = jnp.concatenate(sig_devs)
         else:
             sigs_dev = jnp.asarray(np.asarray(sigs, dtype=host_dtype))
         if prod_tubes is not None:
@@ -446,7 +454,13 @@ class Paule:
         out = self._j_prod_metrics(params, sigs_dev, snaps_dev, tubes_dev,
                                    target_mel_dev, target_semvec_dev,
                                    want_semvec=want_semvec)
-        return jax.device_get(out)
+        host = jax.device_get(out)
+        if return_device:
+            dev = {"prod_mel": out["prod_mel"],
+                   "prod_tube": (tubes_dev if prod_tubes is not None
+                                 else None)}
+            return host, dev
+        return host
 
     def _synthesize(self, cps_norm):
         """Denormalize + synthesize on the host; returns (sig, sr[, tube]).
@@ -848,11 +862,15 @@ class Paule:
                         for s in range(n_segments)]
 
             syntheses = []
-            sig_devs = []  # per-signal async uploads, started as each
-            # synthesis completes so the host->device transfer (a tunnel
-            # round-trip) overlaps with the remaining synthesis jobs
+            sig_devs = []  # chunked async uploads, started as syntheses
+            # complete so the host->device transfers (tunnel round-trips)
+            # overlap with the remaining synthesis jobs; chunks of several
+            # signals per put amortize the per-RPC latency (250 singleton
+            # puts per run measured noisy on a loaded tunnel)
             host_dtype = (np.float64 if self.dtype == jnp.float64
                           else np.float32)
+            put_chunk = 5
+            pending = []
             for s, job in enumerate(run_jobs()):
                 try:
                     syntheses.append(job())
@@ -867,8 +885,11 @@ class Paule:
                                    else None)
                     syntheses.append((np.zeros(n_audio), 44100,
                                       silent_tube))
-                sig_devs.append(jax.device_put(
-                    np.asarray(syntheses[-1][0], dtype=host_dtype)))
+                pending.append(np.asarray(syntheses[-1][0],
+                                          dtype=host_dtype))
+                if len(pending) == put_chunk or s == n_segments - 1:
+                    sig_devs.append(jax.device_put(np.stack(pending)))
+                    pending = []
             sigs = np.stack([s_[0] for s_ in syntheses])
             sr = syntheses[-1][1]
             sig = sigs[-1]
@@ -882,9 +903,10 @@ class Paule:
             _t0 = time.perf_counter()
 
             # ---- produced-audio metrics: one batched program + one fetch --
-            pm = self._prod_metrics(sigs, snaps_dev, prod_tubes,
-                                    target_mel_dev, target_semvec_dev,
-                                    want_semvec, sig_devs=sig_devs)
+            pm, pm_dev = self._prod_metrics(sigs, snaps_dev, prod_tubes,
+                                            target_mel_dev, target_semvec_dev,
+                                            want_semvec, sig_devs=sig_devs,
+                                            return_device=True)
             prod_mels_np = np.asarray(pm["prod_mel"], dtype=np.float64)
             prod_mel = prod_mels_np[-1]
             pred_mel_last = pred_mels[-1]
@@ -1027,6 +1049,12 @@ class Paule:
             # ---------------- continue learning ----------------
             if continue_learning and seg_logs_ii["cp"]:
                 _t0 = time.perf_counter()
+                # this outer iteration's training pairs are device-resident
+                # already: the scan's own snapshots and the metrics
+                # program's produced mels/tubes
+                dev_train = {"cp": snaps_dev.astype(self.dtype),
+                             "prod_mel": pm_dev["prod_mel"],
+                             "prod_tube": pm_dev["prod_tube"]}
                 self._continue_learning(
                     seg_logs_ii, target_semvec_dev, logs,
                     continue_learning_inv=continue_learning_inv,
@@ -1034,7 +1062,7 @@ class Paule:
                     add_training_data_pred=add_training_data_pred,
                     add_training_data_inv=add_training_data_inv,
                     n_batches=n_batches, batch_size=batch_size,
-                    n_epochs=n_epochs)
+                    n_epochs=n_epochs, dev_train=dev_train)
                 timings["continue_learning"] += time.perf_counter() - _t0
 
         # ---------------- Phase F: final results ----------------
@@ -1161,7 +1189,7 @@ class Paule:
     def _continue_learning(self, seg_logs_ii, target_semvec_dev, logs, *,
                            continue_learning_inv, continue_learning_tube,
                            add_training_data_pred, add_training_data_inv,
-                           n_batches, batch_size, n_epochs):
+                           n_batches, batch_size, n_epochs, dev_train=None):
         import pandas as pd
 
         produced = pd.DataFrame(
@@ -1189,6 +1217,11 @@ class Paule:
             print(" ")
 
         def sample_training(add_training_data):
+            """Returns (training frame, produced-row indices | None).
+
+            The indices are non-None only when EVERY training row is one of
+            this outer iteration's produced rows — then the device fast path
+            can train directly on the scan's device-resident arrays."""
             if add_training_data and len(self.continue_data) > 0:
                 want = int(0.5 * batch_size) * n_batches
                 if len(produced) < want:
@@ -1212,7 +1245,7 @@ class Paule:
                 mixed = pd.concat(
                     [old, produced.iloc[prod_idx].reset_index(drop=True)]
                 ).reset_index(drop=True)
-                return mixed
+                return mixed, None
             want = batch_size * n_batches
             k = min(want, len(produced))
             if k < want:
@@ -1221,44 +1254,52 @@ class Paule:
                     f"Not enough data produced to fill {n_batches} "
                     "batches...", k)
             idx = self._py_rng.sample(range(len(produced)), k)
-            return produced.iloc[idx].reset_index(drop=True)
+            return produced.iloc[idx].reset_index(drop=True), idx
+
+        def dev_rows(key, idx):
+            """Device gather of training rows, or None if unavailable."""
+            if dev_train is None or idx is None:
+                return None
+            arr = dev_train.get(key)
+            if arr is None:
+                return None
+            return jnp.take(arr, jnp.asarray(np.asarray(idx, np.int32)),
+                            axis=0)
+
+        def run_train(trainer, in_key, out_key, frame, idx):
+            """Train on device-resident rows when possible (no re-upload),
+            otherwise on the (possibly replay-mixed) host frame."""
+            col = {"cp": "cp_norm", "prod_mel": "melspec_norm_synthesized",
+                   "prod_tube": "tube_norm"}
+            din, dout = dev_rows(in_key, idx), dev_rows(out_key, idx)
+            if din is not None and dout is not None:
+                return trainer_mod.train_epochs_device(
+                    trainer, din, dout, batch_size=batch_size,
+                    n_epochs=n_epochs, rng=self._py_rng)
+            ins = list(frame[col[in_key]])
+            outs = list(frame[col[out_key]])
+            return trainer_mod.train_epochs(
+                trainer, ins, outs, np.array([len(x) for x in ins]),
+                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
+                dtype=self.dtype)
 
         # predictive model (the physical forward model has no parameters)
-        training = sample_training(add_training_data_pred)
-        lens_in = np.array([len(c) for c in training["cp_norm"]])
+        training, prod_idx = sample_training(add_training_data_pred)
         if not self.physical_forward:
-            losses = trainer_mod.train_epochs(
-                self.pred_trainer, list(training["cp_norm"]),
-                list(training["melspec_norm_synthesized"]), lens_in,
-                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
-                dtype=self.dtype)
-            logs["pred_model_loss"].extend(losses)
+            logs["pred_model_loss"].extend(run_train(
+                self.pred_trainer, "cp", "prod_mel", training, prod_idx))
 
         if continue_learning_tube and self.use_somatosensory_feedback:
-            tube_losses = trainer_mod.train_epochs(
-                self.tube_trainer, list(training["cp_norm"]),
-                list(training["tube_norm"]), lens_in,
-                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
-                dtype=self.dtype)
-            logs["tube_model_loss"].extend(tube_losses)
-            tube_mel_losses = trainer_mod.train_epochs(
-                self.tube_mel_trainer, list(training["tube_norm"]),
-                list(training["melspec_norm_synthesized"]),
-                np.array([len(t) for t in training["tube_norm"]]),
-                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
-                dtype=self.dtype)
-            logs["tube_mel_model_loss"].extend(tube_mel_losses)
+            logs["tube_model_loss"].extend(run_train(
+                self.tube_trainer, "cp", "prod_tube", training, prod_idx))
+            logs["tube_mel_model_loss"].extend(run_train(
+                self.tube_mel_trainer, "prod_tube", "prod_mel", training,
+                prod_idx))
 
         if continue_learning_inv:
-            training_inv = sample_training(add_training_data_inv)
-            lens_mel = np.array(
-                [len(m) for m in training_inv["melspec_norm_synthesized"]])
-            inv_losses = trainer_mod.train_epochs(
-                self.inv_trainer, list(training_inv["melspec_norm_synthesized"]),
-                list(training_inv["cp_norm"]), lens_mel,
-                batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
-                dtype=self.dtype)
-            logs["inv_model_loss"].extend(inv_losses)
+            training_inv, inv_idx = sample_training(add_training_data_inv)
+            logs["inv_model_loss"].extend(run_train(
+                self.inv_trainer, "prod_mel", "cp", training_inv, inv_idx))
 
         self.continue_data.append(produced)
 

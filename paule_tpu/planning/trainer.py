@@ -198,46 +198,11 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
     if same_len:
         all_in = jnp.asarray(np.stack(inps).astype(dtype))
         all_out = jnp.asarray(np.stack(tgts).astype(dtype))
-        # Per epoch, the full-size batches form ONE fixed-shape scan (same
-        # compiled program every epoch); smaller leftover batches train as
-        # single steps (their shape is stable too), so the compile count is
-        # bounded by the number of distinct batch sizes — not by random run
-        # boundaries.  Within an epoch, full batches run before leftovers (a
-        # reordering of SGD steps; the epoch's batch order is random anyway).
-        full_per_epoch = [[np.asarray(b, dtype=np.int32)
-                           for b in ep if len(b) == batch_size]
-                          for ep in epoch_batches]
-        rest_per_epoch = [[list(b) for b in ep if len(b) != batch_size]
-                          for ep in epoch_batches]
-        if not any(rest_per_epoch):
-            # no leftovers anywhere: ALL epochs fuse into ONE scan (the
-            # common continue-learning shape — e.g. 24 samples in 3 batches
-            # of 8 x 10 epochs = 30 steps, one dispatch); step order is
-            # exactly the per-epoch order, so semantics are unchanged
-            idx_all = np.concatenate([np.stack(f) for f in full_per_epoch])
-            losses = trainer.train_scan(all_in, all_out, idx_all)
-            host = np.asarray(jax.device_get(losses))
-            per_epoch = np.split(host, np.cumsum(
-                [len(f) for f in full_per_epoch])[:-1])
-            return [float(np.mean(ls)) for ls in per_epoch]
-        epoch_parts = []  # per epoch: list of device loss arrays/scalars
-        for full, rest in zip(full_per_epoch, rest_per_epoch):
-            parts = []
-            if full:
-                parts.append(trainer.train_scan(
-                    all_in, all_out, np.stack(full)))
-            for b in rest:
-                parts.append(trainer.train_batch(
-                    jnp.take(all_in, jnp.asarray(b), axis=0),
-                    jnp.take(all_out, jnp.asarray(b), axis=0)))
-            epoch_parts.append(parts)
-        host = jax.device_get(epoch_parts)  # one deferred sync point
-        return [float(np.mean(np.concatenate(
-                    [np.atleast_1d(np.asarray(p)) for p in parts])))
-                for parts in host]
+        return _train_epochs_same_len(trainer, all_in, all_out,
+                                      epoch_batches, batch_size)
 
     device_losses = []  # per-epoch lists of device scalars; fetched once
-    for batches in epoch_batches:
+    for batches in epoch_batches:  # variable-length (padded) slow path
         losses = []
         for idxs in batches:
             b_in = pad_batch(lens_in[list(idxs)],
@@ -249,6 +214,73 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
         device_losses.append(losses)
     host_losses = jax.device_get(device_losses)  # deferred single sync point
     return [float(np.mean(ls)) for ls in host_losses]
+
+
+def _train_epochs_same_len(trainer, all_in, all_out, epoch_batches,
+                           batch_size):
+    """Same-length fast path on stacked (N, T, C) device arrays.
+
+    Per epoch, the full-size batches form ONE fixed-shape scan (same
+    compiled program every epoch); smaller leftover batches train as
+    single steps (their shape is stable too), so the compile count is
+    bounded by the number of distinct batch sizes — not by random run
+    boundaries.  Within an epoch, full batches run before leftovers (a
+    reordering of SGD steps; the epoch's batch order is random anyway)."""
+    import jax
+
+    full_per_epoch = [[np.asarray(b, dtype=np.int32)
+                       for b in ep if len(b) == batch_size]
+                      for ep in epoch_batches]
+    rest_per_epoch = [[list(b) for b in ep if len(b) != batch_size]
+                      for ep in epoch_batches]
+    if not any(rest_per_epoch):
+        # no leftovers anywhere: ALL epochs fuse into ONE scan (the
+        # common continue-learning shape — e.g. 24 samples in 3 batches
+        # of 8 x 10 epochs = 30 steps, one dispatch); step order is
+        # exactly the per-epoch order, so semantics are unchanged
+        idx_all = np.concatenate([np.stack(f) for f in full_per_epoch])
+        losses = trainer.train_scan(all_in, all_out, idx_all)
+        host = np.asarray(jax.device_get(losses))
+        per_epoch = np.split(host, np.cumsum(
+            [len(f) for f in full_per_epoch])[:-1])
+        return [float(np.mean(ls)) for ls in per_epoch]
+    epoch_parts = []  # per epoch: list of device loss arrays/scalars
+    for full, rest in zip(full_per_epoch, rest_per_epoch):
+        parts = []
+        if full:
+            parts.append(trainer.train_scan(
+                all_in, all_out, np.stack(full)))
+        for b in rest:
+            parts.append(trainer.train_batch(
+                jnp.take(all_in, jnp.asarray(b), axis=0),
+                jnp.take(all_out, jnp.asarray(b), axis=0)))
+        epoch_parts.append(parts)
+    host = jax.device_get(epoch_parts)  # one deferred sync point
+    return [float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(p)) for p in parts])))
+            for parts in host]
+
+
+def train_epochs_device(trainer, all_in, all_out, *, batch_size, n_epochs,
+                        rng=random):
+    """:func:`train_epochs` for data ALREADY stacked on device.
+
+    Continue-learning's training pairs within one outer iteration are the
+    planning scan's own snapshots and the batched metrics program's produced
+    mels — both device-resident; training on them directly skips the ~MBs
+    of host->device re-upload per outer iteration.  Consumes the rng stream
+    exactly like :func:`train_epochs` on equal-length host data."""
+    n = int(all_in.shape[0])
+    lens = np.full(n, int(all_in.shape[1]))
+    length_dict = build_length_dict(lens)
+    epoch_batches = [
+        create_epoch_batches(
+            n, batch_size, shuffle=True, same_size_batching=True,
+            training_length_dict=length_dict, rng=rng)
+        for _ in range(n_epochs)
+    ]
+    return _train_epochs_same_len(trainer, all_in, all_out,
+                                  epoch_batches, batch_size)
 
 
 class ReplayBuffer:

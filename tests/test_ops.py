@@ -226,6 +226,44 @@ def test_train_epochs_leftover_batches():
     assert losses[-1] < losses[0]
 
 
+def test_train_epochs_device_matches_host():
+    """train_epochs_device (device-resident continue-learning data, no
+    re-upload) must consume the rng stream and produce losses/params
+    IDENTICALLY to train_epochs on the same equal-length host data."""
+    import jax
+    import jax.numpy as jnp
+    from paule_tpu.config import DTYPE
+    from paule_tpu.models import ForwardModel
+    from paule_tpu.planning.trainer import (
+        ModelTrainer, train_epochs, train_epochs_device)
+    import numpy as np
+    import random
+
+    model = ForwardModel(num_lstm_layers=1, hidden_size=16)
+    params = model.init(jax.random.PRNGKey(0), DTYPE)
+    n = 9  # exercises leftover batches too (4, 4, 1)
+    rng = np.random.default_rng(0)
+    inps = [rng.normal(0, 0.3, (12, 30)) for _ in range(n)]
+    tgts = [rng.normal(0, 0.3, (6, 60)) for _ in range(n)]
+
+    t_host = ModelTrainer(model, params, loss="rmse")
+    host_losses = train_epochs(t_host, inps, tgts, [12] * n, batch_size=4,
+                               n_epochs=3, rng=random.Random(7),
+                               dtype=np.dtype(DTYPE))
+
+    t_dev = ModelTrainer(model, params, loss="rmse")
+    all_in = jnp.asarray(np.stack(inps).astype(np.dtype(DTYPE)))
+    all_out = jnp.asarray(np.stack(tgts).astype(np.dtype(DTYPE)))
+    dev_losses = train_epochs_device(t_dev, all_in, all_out, batch_size=4,
+                                     n_epochs=3, rng=random.Random(7))
+
+    np.testing.assert_allclose(dev_losses, host_losses, rtol=0, atol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        t_dev.params, t_host.params)
+
+
 def test_set_learning_rate_keeps_adam_moments():
     """Changing the learning rate mid-session must keep the Adam first/second
     moments (reference mutates param_groups['lr'], paule.py:472-478)."""
