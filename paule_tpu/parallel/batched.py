@@ -203,13 +203,22 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
 
     def train_shared(trainer, all_in, all_out, loss_log):
         # batches keep the dp layout so gradients reduce over ICI; every
-        # sample trains every epoch (leftovers included), reshuffled
+        # sample trains every epoch (leftovers included), reshuffled.
+        # all_in/all_out may be device arrays (the scan's own trajectories,
+        # the metrics program's produced mels) — rows gather on device then,
+        # with no host re-upload
+        on_device = isinstance(all_in, jax.Array)
         for _ in range(n_epochs):
             order = paule_obj._py_rng.sample(range(b), b)
             for start in range(0, b, batch_size):
                 idx = order[start:start + batch_size]
-                bi = jnp.asarray(all_in[idx], dtype=dtype)
-                bo = jnp.asarray(all_out[idx], dtype=dtype)
+                if on_device:
+                    sel = jnp.asarray(np.asarray(idx, np.int32))
+                    bi = jnp.take(all_in, sel, axis=0)
+                    bo = jnp.take(all_out, sel, axis=0)
+                else:
+                    bi = jnp.asarray(all_in[idx], dtype=dtype)
+                    bo = jnp.asarray(all_out[idx], dtype=dtype)
                 if mesh is not None and len(idx) % mesh.shape["dp"] == 0:
                     bi = mesh_mod.shard_batch(mesh, bi)
                     bo = mesh_mod.shard_batch(mesh, bo)
@@ -258,9 +267,9 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
                       if use_somato else None)
         # sigs=None: the audio is already on device (sig_devs); the host
         # copies live on in the result's prod_sigs
-        pm = paule_obj._prod_metrics(
+        pm, pm_dev = paule_obj._prod_metrics(
             None, xx, prod_tubes, target_mels, target_semvecs,
-            want_semvec, sig_devs=sig_devs)
+            want_semvec, sig_devs=sig_devs, return_device=True)
         log_curves(pm)
         prod_mels_host = np.asarray(pm["prod_mel"], dtype=np.float64)
         if verbose:
@@ -270,13 +279,14 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
                   f"max {prod_losses.max():.4f}")
 
         if continue_learning:
-            train_shared(paule_obj.pred_trainer, cps, prod_mels_host,
-                         pred_model_loss)
+            xx_dev = jnp.asarray(xx, dtype=dtype)
+            train_shared(paule_obj.pred_trainer, xx_dev,
+                         pm_dev["prod_mel"], pred_model_loss)
             if continue_learning_tube and use_somato:
-                train_shared(paule_obj.tube_trainer, cps, prod_tubes,
-                             tube_model_loss)
-                train_shared(paule_obj.tube_mel_trainer, prod_tubes,
-                             prod_mels_host, tube_mel_model_loss)
+                train_shared(paule_obj.tube_trainer, xx_dev,
+                             pm_dev["prod_tube"], tube_model_loss)
+                train_shared(paule_obj.tube_mel_trainer, pm_dev["prod_tube"],
+                             pm_dev["prod_mel"], tube_mel_model_loss)
 
     out = {
         "planned_cp": np.asarray(jax.device_get(xx), dtype=np.float64),
