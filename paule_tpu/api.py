@@ -1254,7 +1254,9 @@ class Paule:
                     f"Not enough data produced to fill {n_batches} "
                     "batches...", k)
             idx = self._py_rng.sample(range(len(produced)), k)
-            return produced.iloc[idx].reset_index(drop=True), idx
+            # frame materialized lazily in run_train's host fallback: on
+            # the device fast path it is never read
+            return None, idx
 
         def dev_rows(key, idx):
             """Device gather of training rows, or None if unavailable."""
@@ -1276,6 +1278,8 @@ class Paule:
                 return trainer_mod.train_epochs_device(
                     trainer, din, dout, batch_size=batch_size,
                     n_epochs=n_epochs, rng=self._py_rng)
+            if frame is None:  # pure-produced rows, host fallback
+                frame = produced.iloc[idx].reset_index(drop=True)
             ins = list(frame[col[in_key]])
             outs = list(frame[col[out_key]])
             return trainer_mod.train_epochs(

@@ -183,15 +183,8 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
     inps = list(inps)
     tgts = list(tgts)
     lens_in = np.asarray(lens_in)
-    length_dict = build_length_dict(lens_in)
-
-    # epoch batch plan (consumes the rng stream identically to the slow path)
-    epoch_batches = [
-        create_epoch_batches(
-            len(inps), batch_size, shuffle=True, same_size_batching=True,
-            training_length_dict=length_dict, rng=rng)
-        for _ in range(n_epochs)
-    ]
+    epoch_batches = _plan_epoch_batches(len(inps), lens_in, batch_size,
+                                        n_epochs, rng)
 
     same_len = (len(set(lens_in.tolist())) == 1
                 and len({len(t_) for t_ in tgts}) == 1)
@@ -214,6 +207,21 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
         device_losses.append(losses)
     host_losses = jax.device_get(device_losses)  # deferred single sync point
     return [float(np.mean(ls)) for ls in host_losses]
+
+
+def _plan_epoch_batches(n, lens_in, batch_size, n_epochs, rng):
+    """The epoch batch plan shared by :func:`train_epochs` and
+    :func:`train_epochs_device`.  ONE implementation on purpose: the two
+    entry points are chosen at runtime (replay-mixed vs device-resident
+    data) and must consume the rng stream bit-identically for
+    reproducibility."""
+    length_dict = build_length_dict(np.asarray(lens_in))
+    return [
+        create_epoch_batches(
+            n, batch_size, shuffle=True, same_size_batching=True,
+            training_length_dict=length_dict, rng=rng)
+        for _ in range(n_epochs)
+    ]
 
 
 def _train_epochs_same_len(trainer, all_in, all_out, epoch_batches,
@@ -271,14 +279,8 @@ def train_epochs_device(trainer, all_in, all_out, *, batch_size, n_epochs,
     of host->device re-upload per outer iteration.  Consumes the rng stream
     exactly like :func:`train_epochs` on equal-length host data."""
     n = int(all_in.shape[0])
-    lens = np.full(n, int(all_in.shape[1]))
-    length_dict = build_length_dict(lens)
-    epoch_batches = [
-        create_epoch_batches(
-            n, batch_size, shuffle=True, same_size_batching=True,
-            training_length_dict=length_dict, rng=rng)
-        for _ in range(n_epochs)
-    ]
+    epoch_batches = _plan_epoch_batches(
+        n, np.full(n, int(all_in.shape[1])), batch_size, n_epochs, rng)
     return _train_epochs_same_len(trainer, all_in, all_out,
                                   epoch_batches, batch_size)
 
