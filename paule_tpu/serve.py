@@ -59,19 +59,32 @@ def decode_array(obj):
 class PauleService:
     """The request handlers, separated from HTTP plumbing for testability."""
 
-    def __init__(self, paule_model=None, **paule_kwargs):
+    def __init__(self, paule_model=None, defer_model=False, **paule_kwargs):
+        self._paule_kwargs = paule_kwargs
+        self._plan_lock = threading.Lock()
+        #: cleared while the model constructs / the warmup planning call
+        #: compiles XLA programs; /health reports "warming" and the compute
+        #: endpoints 503 so load balancers retry instead of timing out
+        #: (remote compilation can take minutes on a cold cache)
+        self.ready = threading.Event()
+        self.model = paule_model
+        if paule_model is None and not defer_model:
+            self._build_model()
+        if self.model is not None:
+            self.ready.set()
+
+    def _build_model(self):
         from .api import Paule
 
-        self.model = paule_model if paule_model is not None \
-            else Paule(**paule_kwargs)
-        self._plan_lock = threading.Lock()
+        self.model = Paule(**self._paule_kwargs)
 
     def health(self):
         import jax
 
         from . import __version__
 
-        return {"status": "ok", "backend": jax.default_backend(),
+        return {"status": "ok" if self.ready.is_set() else "warming",
+                "backend": jax.default_backend(),
                 "n_devices": len(jax.devices()), "version": __version__}
 
     def synthesize(self, payload):
@@ -169,6 +182,10 @@ def make_server(service, host="127.0.0.1", port=8750):
 
         def do_POST(self):
             try:
+                if not service.ready.is_set():
+                    self._send(503, {"error": "warming up (compiling XLA "
+                                              "programs); retry shortly"})
+                    return
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/synthesize":
@@ -192,11 +209,25 @@ def make_server(service, host="127.0.0.1", port=8750):
 def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
           **paule_kwargs):
     """Start serving (blocking).  ``warmup=True`` runs a tiny planning call
-    first so the XLA programs are compiled before traffic arrives."""
-    service = PauleService(paule_model, **paule_kwargs)
-    if warmup:
-        _warmup(service.model)
+    so the XLA programs are compiled before real traffic; the port binds
+    IMMEDIATELY and /health reports "warming" until it finishes (remote XLA
+    compilation can take minutes on a cold cache — an invisible port for
+    that long breaks orchestrator liveness checks)."""
+    service = PauleService(paule_model, defer_model=warmup, **paule_kwargs)
     server = make_server(service, host, port)
+    if warmup:
+        service.ready.clear()
+
+        def _run_warmup():
+            try:
+                if service.model is None:
+                    service._build_model()
+                _warmup(service.model)
+            finally:
+                service.ready.set()
+                print("paule_tpu warmup complete")
+
+        threading.Thread(target=_run_warmup, daemon=True).start()
     print(f"paule_tpu serving on http://{host}:{port}")
     server.serve_forever()
 

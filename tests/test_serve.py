@@ -137,3 +137,31 @@ def test_plan_batch(server):
     except Exception as exc:  # urllib raises on 400
         err = exc
     assert err is not None
+
+
+def test_warming_state():
+    """While warmup compiles, the port is already bound, /health reports
+    "warming" and compute endpoints 503 so orchestrators retry instead of
+    timing out; both recover once ready is set."""
+    import urllib.error
+
+    synth.initialize()
+    service = serve.PauleService(Paule(seed=11))
+    service.ready.clear()
+    httpd = serve.make_server(service, "127.0.0.1", 0)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(url + "/health", timeout=60) as resp:
+            assert json.loads(resp.read())["status"] == "warming"
+        try:
+            _post(url + "/synthesize", {"cp": []})
+            raise AssertionError("expected 503 while warming")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 503
+        service.ready.set()
+        with urllib.request.urlopen(url + "/health", timeout=60) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        httpd.shutdown()
