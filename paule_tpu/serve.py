@@ -217,12 +217,13 @@ def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
     server = make_server(service, host, port)
     if warmup:
         service.ready.clear()
+        lengths = (40,) if warmup is True else tuple(warmup)
 
         def _run_warmup():
             try:
                 if service.model is None:
                     service._build_model()
-                _warmup(service.model)
+                _warmup(service.model, lengths)
             finally:
                 service.ready.set()
                 print("paule_tpu warmup complete")
@@ -232,17 +233,26 @@ def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
     server.serve_forever()
 
 
-def _warmup(model):
+def _warmup(model, cp_lengths=(40,)):
+    """Compile the planning programs by running tiny plans.
+
+    XLA programs are shape-specialized: the first request at a NEW
+    utterance length compiles from scratch (minutes over a cold remote
+    cache).  Passing the production length distribution as extra
+    ``cp_lengths`` (cp frames = 2 x mel frames, even) precompiles them all
+    during startup while /health still says "warming"."""
     from . import synth
     from .ops.normalize import inv_normalize_cp
 
     rng = np.random.default_rng(0)
-    cp = np.clip(rng.normal(0, 0.1, (40, 30)).cumsum(0) * 0.1, -1, 1)
-    sig, sr = synth.speak(inv_normalize_cp(cp))
-    model.plan_resynth(target_acoustic=(sig, sr), objective="acoustic",
-                       initialize_from="acoustic", n_outer=1, n_inner=2,
-                       log_ii=1, n_batches=1, batch_size=2, n_epochs=1,
-                       continue_learning=True, verbose=False)
+    for n_cp in cp_lengths:
+        n_cp = max(4, int(n_cp) + (int(n_cp) % 2))  # even length
+        cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1, -1, 1)
+        sig, sr = synth.speak(inv_normalize_cp(cp))
+        model.plan_resynth(target_acoustic=(sig, sr), objective="acoustic",
+                           initialize_from="acoustic", n_outer=1, n_inner=2,
+                           log_ii=1, n_batches=1, batch_size=2, n_epochs=1,
+                           continue_learning=True, verbose=False)
 
 
 if __name__ == "__main__":
@@ -252,7 +262,17 @@ if __name__ == "__main__":
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8750)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--warmup-lengths", default=None,
+                    help="comma-separated cp-frame lengths to precompile "
+                         "(= 2 x mel frames of expected requests), e.g. "
+                         "'40,200,400'")
     ap.add_argument("--pretrained-dir", default=None)
     args = ap.parse_args()
-    serve(args.host, args.port, warmup=not args.no_warmup,
+    if args.no_warmup:
+        warmup = False
+    elif args.warmup_lengths:
+        warmup = [int(x) for x in args.warmup_lengths.split(",") if x]
+    else:
+        warmup = True
+    serve(args.host, args.port, warmup=warmup,
           pretrained_dir=args.pretrained_dir)
