@@ -258,9 +258,14 @@ class Paule:
 
         Expected layout mirrors the reference's ``pretrained_models/``
         (/root/reference/paule/paule.py:124-273); any missing file falls
-        back to random initialization."""
+        back to random initialization, but a nonexistent directory raises —
+        the caller explicitly asked for pretrained weights, and silently
+        serving random ones instead would be a misconfiguration trap."""
         if not pretrained_dir:
             return {}
+        if not os.path.isdir(pretrained_dir):
+            raise FileNotFoundError(
+                f"pretrained_dir {pretrained_dir!r} does not exist")
         from .models import torch_convert as TC
 
         found = {}

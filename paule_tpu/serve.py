@@ -15,7 +15,10 @@ server around a warm :class:`paule_tpu.api.Paule` instance.
 
 Endpoints
 ---------
-GET  /health       -> {"status": "ok", "backend": ..., "version": ...}
+GET  /health       -> {"status": "ok"|"warming"|"error", "backend": ...,
+                       "version": ...}; "warming" while the model builds /
+                       warmup compiles (retry), "error" (+ "error" detail)
+                       if startup failed
 POST /synthesize   {"cp": <array (T,30)>, "normalized": true}
                    -> {"audio": <array>, "sample_rate": 44100}
 POST /embed        {"mel": <array (F,60)>} -> {"semvec": <array (300,)>}
@@ -24,6 +27,9 @@ POST /plan         {"signal": <array>, "sample_rate": int, ...plan kwargs}
 POST /plan_batch   {"signals": [<array>, ...], "sample_rate": int,
                     "max_batch": int, ...plan kwargs}
                    -> {"results": [per-utterance planned cp/audio/losses]}
+
+All POST endpoints return 503 (with a retry hint) while warming and while
+startup is failed.
 """
 
 import base64
@@ -67,6 +73,9 @@ class PauleService:
         #: endpoints 503 so load balancers retry instead of timing out
         #: (remote compilation can take minutes on a cold cache)
         self.ready = threading.Event()
+        #: set to the exception when background model build / warmup fails;
+        #: /health then reports "error" instead of silently looking ok
+        self.startup_error = None
         self.model = paule_model
         if paule_model is None and not defer_model:
             self._build_model()
@@ -83,9 +92,18 @@ class PauleService:
 
         from . import __version__
 
-        return {"status": "ok" if self.ready.is_set() else "warming",
-                "backend": jax.default_backend(),
-                "n_devices": len(jax.devices()), "version": __version__}
+        if self.startup_error is not None:
+            status = "error"
+        elif self.ready.is_set():
+            status = "ok"
+        else:
+            status = "warming"
+        out = {"status": status, "backend": jax.default_backend(),
+               "n_devices": len(jax.devices()), "version": __version__}
+        if self.startup_error is not None:
+            out["error"] = f"{type(self.startup_error).__name__}: " \
+                           f"{self.startup_error}"
+        return out
 
     def synthesize(self, payload):
         from .ops.normalize import inv_normalize_cp
@@ -182,6 +200,11 @@ def make_server(service, host="127.0.0.1", port=8750):
 
         def do_POST(self):
             try:
+                if service.startup_error is not None:
+                    self._send(503, {"error": "startup failed: "
+                               f"{type(service.startup_error).__name__}: "
+                               f"{service.startup_error}"})
+                    return
                 if not service.ready.is_set():
                     self._send(503, {"error": "warming up (compiling XLA "
                                               "programs); retry shortly"})
@@ -208,25 +231,40 @@ def make_server(service, host="127.0.0.1", port=8750):
 
 def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
           **paule_kwargs):
-    """Start serving (blocking).  ``warmup=True`` runs a tiny planning call
-    so the XLA programs are compiled before real traffic; the port binds
-    IMMEDIATELY and /health reports "warming" until it finishes (remote XLA
-    compilation can take minutes on a cold cache — an invisible port for
-    that long breaks orchestrator liveness checks)."""
-    service = PauleService(paule_model, defer_model=warmup, **paule_kwargs)
+    """Start serving (blocking).
+
+    ``warmup``: ``True`` runs a tiny planning call in the background so the
+    XLA programs are compiled before real traffic; an iterable of cp-frame
+    lengths precompiles each of those utterance lengths; ``False``/``None``
+    serves immediately (first requests pay compilation).  With warmup on,
+    the port binds IMMEDIATELY and /health reports "warming" until it
+    finishes (remote XLA compilation can take minutes on a cold cache — an
+    invisible port for that long breaks orchestrator liveness checks); if
+    model construction or warmup fails, /health reports "error" and the
+    compute endpoints 503 with the failure."""
+    if warmup is True:
+        lengths = (40,)
+    elif not warmup:  # False, None, empty iterable
+        lengths = ()
+    else:
+        lengths = tuple(int(x) for x in warmup) or (40,)
+    do_warm = bool(lengths)
+    service = PauleService(paule_model, defer_model=do_warm, **paule_kwargs)
     server = make_server(service, host, port)
-    if warmup:
+    if do_warm:
         service.ready.clear()
-        lengths = (40,) if warmup is True else tuple(warmup)
 
         def _run_warmup():
             try:
                 if service.model is None:
                     service._build_model()
                 _warmup(service.model, lengths)
-            finally:
                 service.ready.set()
                 print("paule_tpu warmup complete")
+            except Exception as exc:  # noqa: BLE001
+                service.startup_error = exc
+                print(f"paule_tpu startup FAILED: "
+                      f"{type(exc).__name__}: {exc}")
 
         threading.Thread(target=_run_warmup, daemon=True).start()
     print(f"paule_tpu serving on http://{host}:{port}")
@@ -240,19 +278,30 @@ def _warmup(model, cp_lengths=(40,)):
     utterance length compiles from scratch (minutes over a cold remote
     cache).  Passing the production length distribution as extra
     ``cp_lengths`` (cp frames = 2 x mel frames, even) precompiles them all
-    during startup while /health still says "warming"."""
-    from . import synth
+    during startup while /health still says "warming".
+
+    The warmup plans exercise continue-learning (so its programs compile
+    too), which trains the models on noise; the model state (weights,
+    optimizer moments, replay buffer, RNG) is snapshotted before and
+    restored after, so the served model is exactly the loaded one."""
+    from . import checkpoint, synth
     from .ops.normalize import inv_normalize_cp
 
-    rng = np.random.default_rng(0)
-    for n_cp in cp_lengths:
-        n_cp = max(4, int(n_cp) + (int(n_cp) % 2))  # even length
-        cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1, -1, 1)
-        sig, sr = synth.speak(inv_normalize_cp(cp))
-        model.plan_resynth(target_acoustic=(sig, sr), objective="acoustic",
-                           initialize_from="acoustic", n_outer=1, n_inner=2,
-                           log_ii=1, n_batches=1, batch_size=2, n_epochs=1,
-                           continue_learning=True, verbose=False)
+    state = checkpoint.to_host(checkpoint.paule_state(model))
+    try:
+        rng = np.random.default_rng(0)
+        for n_cp in cp_lengths:
+            n_cp = max(4, int(n_cp) + (int(n_cp) % 2))  # even length
+            cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1,
+                         -1, 1)
+            sig, sr = synth.speak(inv_normalize_cp(cp))
+            model.plan_resynth(
+                target_acoustic=(sig, sr), objective="acoustic",
+                initialize_from="acoustic", n_outer=1, n_inner=2,
+                log_ii=1, n_batches=1, batch_size=2, n_epochs=1,
+                continue_learning=True, verbose=False)
+    finally:
+        checkpoint.restore_paule_state(model, state)
 
 
 if __name__ == "__main__":

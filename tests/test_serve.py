@@ -142,11 +142,11 @@ def test_plan_batch(server):
 def test_warming_state():
     """While warmup compiles, the port is already bound, /health reports
     "warming" and compute endpoints 503 so orchestrators retry instead of
-    timing out; both recover once ready is set."""
+    timing out; both recover once ready is set.  The gate only reads the
+    ready event, so a stub model suffices."""
     import urllib.error
 
-    synth.initialize()
-    service = serve.PauleService(Paule(seed=11))
+    service = serve.PauleService(object())
     service.ready.clear()
     httpd = serve.make_server(service, "127.0.0.1", 0)
     url = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -163,5 +163,40 @@ def test_warming_state():
         service.ready.set()
         with urllib.request.urlopen(url + "/health", timeout=60) as resp:
             assert json.loads(resp.read())["status"] == "ok"
+
+        # startup failure: /health reports "error" + detail, compute 503s
+        service.startup_error = RuntimeError("weights not found")
+        with urllib.request.urlopen(url + "/health", timeout=60) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "error"
+        assert "weights not found" in body["error"]
+        try:
+            _post(url + "/synthesize", {"cp": []})
+            raise AssertionError("expected 503 after startup failure")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 503
+            assert "startup failed" in json.loads(exc.read())["error"]
     finally:
         httpd.shutdown()
+
+
+def test_warmup_restores_model_state():
+    """The warmup plans train on noise; the served model must come out
+    bit-identical to the loaded one (weights, optimizer state, replay
+    buffer, rng)."""
+    import jax
+
+    from paule_tpu import checkpoint
+
+    synth.initialize()
+    model = Paule(seed=11)
+    before = checkpoint.to_host(checkpoint.paule_state(model))
+    serve._warmup(model, cp_lengths=(20,))
+    after = checkpoint.to_host(checkpoint.paule_state(model))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        {k: v for k, v in before.items() if k != "continue_data"},
+        {k: v for k, v in after.items() if k != "continue_data"})
+    assert (after["continue_data"] is None) == \
+        (before["continue_data"] is None)
