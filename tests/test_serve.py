@@ -200,3 +200,25 @@ def test_warmup_restores_model_state():
         {k: v for k, v in after.items() if k != "continue_data"})
     assert (after["continue_data"] is None) == \
         (before["continue_data"] is None)
+
+
+def test_concurrent_synthesize(server):
+    """Concurrent /synthesize requests must all succeed with results
+    identical to serial calls (the handle pool + threaded HTTP server are
+    the race-safety story vs the reference's global VTL singleton)."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(5)
+    cps = [np.clip(rng.normal(0, 0.1, (24, 30)).cumsum(0) * 0.1, -1, 1)
+           for _ in range(8)]
+    serial = [synth.speak(inv_normalize_cp(cp))[0] for cp in cps]
+
+    def call(cp):
+        body = _post(server + "/synthesize",
+                     {"cp": serve.encode_array(cp), "normalized": True})
+        return serve.decode_array(body["audio"])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        outs = list(ex.map(call, cps))
+    for out, ref in zip(outs, serial):
+        np.testing.assert_allclose(out, ref, atol=1e-4)
