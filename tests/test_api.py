@@ -393,3 +393,20 @@ def test_non_finite_trajectory_is_a_synthesis_failure(target, monkeypatch):
     p2 = Paule(seed=8, synthesis_error="raise")
     with pytest.raises(ValueError, match="non-finite"):
         p2._synthesize(np.full((12, 30), np.nan))
+
+
+def test_log_gradients_and_signals(paule_model, target):
+    """log_gradients / log_signals populate their step series (reference
+    flags at /root/reference/paule/paule.py:407-411): one gradient array
+    per logged step shaped like the trajectory, one produced signal per
+    logged step."""
+    res = paule_model.plan_resynth(
+        target_acoustic=target, objective="acoustic",
+        log_gradients=True, log_signals=True, **TINY)
+    n_logged = TINY["n_outer"] * (TINY["n_inner"] // TINY["log_ii"])
+    assert len(res.grad_steps) == n_logged
+    assert res.grad_steps[0].shape[-2:] == res.planned_cp.shape
+    assert all(np.isfinite(g).all() for g in res.grad_steps)
+    assert len(res.sig_steps) == n_logged
+    n_audio = (res.planned_cp.shape[0] - 1) * 110
+    assert all(s.shape == (n_audio,) for s in res.sig_steps)
