@@ -202,6 +202,11 @@ def run_ours(p, target, init_cp, n_outer):
 
 def main():
     target = make_target()
+    # stage markers on stderr: if the driver's timeout kills the run (e.g.
+    # during a TPU-tunnel outage), the captured tail shows where it died
+    def stage(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     fwd, emb = make_torch_models()
     params_fwd, params_emb = convert_params(fwd, emb)
 
@@ -211,16 +216,21 @@ def main():
     n_mel = np.asarray(normalize_mel(
         librosa_melspec(target[0], target[1]))).shape[0]
     init_cp = np.zeros((2 * n_mel, 30))
+    stage("target + converted weights ready")
 
     # ---- loss parity: same budget, same init, both sides measured fully ----
     p = make_paule(params_fwd, params_emb)
+    stage(f"parity run (ours, n_outer={PARITY_OUTER}, cold compiles)...")
     r_parity = run_ours(p, target, init_cp, PARITY_OUTER)  # cold (compiles)
     loss_ours = float(r_parity.prod_loss_steps[-1])
 
+    stage(f"torch-f64-CPU leg ({PARITY_OUTER} outer iterations, ~200 s "
+          "each on a 1-core host)...")
     t_torch_parity, torch_losses = bench_torch(target, fwd, emb, PARITY_OUTER)
     loss_torch = float(torch_losses[-1])
 
     # ---- timing at the full default budget (n_outer=10) ----
+    stage("timing run (ours, full default budget)...")
     p3 = make_paule(params_fwd, params_emb)  # fresh weights
     run_ours(p3, target, init_cp, 1)  # warm this instance's compiles
     t0 = time.perf_counter()
