@@ -521,11 +521,12 @@ double GlottisState::step(double* area_out) {
 
   double u = a_g * u_coeff_;
 
-  // aspiration noise, lowpassed, gated by opening and pressure
+  // aspiration noise, lowpassed, gated by opening and pressure;
+  // sqrt(x)*sqrt(y) fused to sqrt(x*y) (both factors are non-negative)
   double n = white(&noise_state);
   asp_lp += 0.25 * (n - asp_lp);
-  double asp = asp_lp * asp_gain13_ * std::sqrt(std::max(u, 0.0)) *
-               std::sqrt(a_g + 0.01);
+  double asp = asp_lp * asp_gain13_ *
+               std::sqrt(std::max(u, 0.0) * (a_g + 0.01));
 
   return u + asp * 40.0;
 }
