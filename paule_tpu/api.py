@@ -441,7 +441,7 @@ class Paule:
             params["tube_mel"] = self.tube_mel_trainer.params
             params["tube_embedder"] = self.tube_embedder_params
         host_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
-        if sig_devs is not None:
+        if sig_devs:
             if sig_devs[0].ndim == 1:  # per-signal uploads
                 sigs_dev = jnp.stack(sig_devs)
             elif len(sig_devs) == 1:  # one pre-stacked chunk

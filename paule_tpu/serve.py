@@ -288,6 +288,7 @@ def _warmup(model, cp_lengths=(40,)):
     from .ops.normalize import inv_normalize_cp
 
     state = checkpoint.to_host(checkpoint.paule_state(model))
+    py_rng_state = model._py_rng.getstate()
     try:
         rng = np.random.default_rng(0)
         for n_cp in cp_lengths:
@@ -302,6 +303,7 @@ def _warmup(model, cp_lengths=(40,)):
                 continue_learning=True, verbose=False)
     finally:
         checkpoint.restore_paule_state(model, state)
+        model._py_rng.setstate(py_rng_state)
 
 
 if __name__ == "__main__":
