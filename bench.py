@@ -1,31 +1,42 @@
 """Benchmark: plan_resynth wall-clock AND final produced-mel-loss parity,
-paule_tpu vs a PyTorch-f64-CPU reference-equivalent planning loop.
+paule_tpu vs the upstream reference's ACTUAL code.
 
-The reference (quantling/paule) publishes no numbers (BASELINE.md), so the
-baseline is measured here: a torch float64 CPU implementation of the exact
-planning workload — ForwardModel (1-layer LSTM-720 + linear + avg-pool),
-2-layer LSTM-720 embedder, the acoustic_semvec weighted loss
-(5*mel + 10*semvec + 80*velocity + 400*jerk + 100000*local-linear, reference
-paule.py:592-599), Adam on the trajectory, synthesis + produced-loss logging
-every step (log_ii=1, reference paule.py:1104-1115), and continue-learning
-(10 epochs x 3 batches of 8 per outer iteration, paule.py:1244-1454).
+The baseline leg executes `/root/reference/paule/paule.py:391` —
+`Paule.plan_resynth` itself, unmodified — with the reference's own torch
+models (`paule.models`).  Only librosa/soundfile are absent in this
+environment; they are satisfied by `paule_tpu.reference_bridge` with
+numerically faithful numpy stand-ins (librosa mel path via
+transformers.audio_utils, resampling via the exact kaiser_best
+implementation — both pinned by golden tests, tests/test_dsp_golden.py).
 
-Loss parity: BOTH sides run the SAME budget from the SAME initialization —
-the torch models' state_dicts are converted (models/torch_convert, itself
-parity-tested against the reference's classes) into our parameters, the
-initial trajectory is zeros on both sides, and both report the final
-produced mel loss (MEL_WEIGHT * RMSE(produced_mel, target_mel)).  Both sides
-use the same host C++ synthesizer and mel front-end, so the measured
-difference is the framework's compute path.
+Loss parity: BOTH legs run the SAME budget from the SAME initialization —
+the reference's torch models are constructed seeded, their state_dicts are
+converted (models/torch_convert, parity-tested against the reference's
+classes) into our parameters, the initial trajectory is zeros on both
+sides, and BOTH legs share the same copy-synthesis target AND the same
+plant: our C++ synthesizer is injected as the reference's `speak` (the
+VERDICT-suggested monkeypatch), so the measured difference is purely the
+framework compute path.  (The reference's own native VTL library DOES load
+and run here — tests/test_reference_bridge.py — but as a *different plant*
+it makes cross-leg loss comparison meaningless: VTL barely phonates on the
+bench trajectory, ~16x quieter audio.  Set BENCH_VTL_PLANT=1 for an extra
+fully-authentic VTL-plant reference run reported in the detail.)  Both
+legs report the final produced mel loss (MEL_WEIGHT * RMSE(produced_mel,
+target_mel) — identical formulas: reference paule.py:1112-1114, ours
+api.py).
 
 Timing: ours is measured hot at the full default budget (n_outer=10); the
-torch side is measured over PARITY_OUTER full outer iterations (complete
-inner loop + synthesis + continue-learning, no per-step sampling) and scaled
+reference leg is measured over PARITY_OUTER full outer iterations (complete
+inner loop with synthesis every step + continue-learning) and scaled
 linearly to n_outer=10 (per-outer cost is constant by construction).
+NOTE the host has few CPU cores (1 in the dev environment) — torch gets
+`os.cpu_count()` threads and the thread count is recorded in the detail;
+on a many-core host the reference leg would be a few times faster.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Env knobs: BENCH_PARITY_OUTER (default 2) bounds the torch wall-clock.
+Env knobs: BENCH_PARITY_OUTER (default 2) bounds the reference wall-clock;
+BENCH_REFERENCE_ROOT overrides the reference checkout location.
 """
 
 import json
@@ -43,54 +54,45 @@ LR_PLANNING = 0.01
 LR_LEARNING = 0.001
 FULL_OUTER = 10
 PARITY_OUTER = int(os.environ.get("BENCH_PARITY_OUTER", "2"))
+REFERENCE_ROOT = os.environ.get("BENCH_REFERENCE_ROOT", "/root/reference")
 SECONDS = 1.0
 N_CP = int(round(SECONDS * 44100 / 110))  # 1 s of cp frames (~400)
 if N_CP % 2:
     N_CP += 1
 
 
-def make_target():
+def make_cp_true():
+    rng = np.random.default_rng(0)
+    return np.clip(rng.normal(0, 0.05, (N_CP + 1, 30)).cumsum(0) * 0.2,
+                   -1, 1)
+
+
+def make_target_ours(cp_true):
     from paule_tpu import synth
     from paule_tpu.ops.normalize import inv_normalize_cp
 
     synth.initialize()
-    rng = np.random.default_rng(0)
-    cp_true = np.clip(rng.normal(0, 0.05, (N_CP + 1, 30)).cumsum(0) * 0.2,
-                      -1, 1)
     sig, sr = synth.speak(inv_normalize_cp(cp_true))
     return sig, sr
 
 
-def make_torch_models():
-    """Reference-architecture torch models (f64, seeded) whose state_dicts
-    initialize BOTH sides."""
+def make_reference_models():
+    """The reference's own torch model classes, seeded; their state_dicts
+    initialize BOTH legs."""
+    from paule_tpu.reference_bridge import import_reference
+
+    import_reference(REFERENCE_ROOT)
     import torch
+    import paule.models as M
 
     torch.manual_seed(0)
-
-    class Fwd(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.lstm = torch.nn.LSTM(30, 720, num_layers=1, batch_first=True)
-            self.post_linear = torch.nn.Linear(720, 60)
-            self.pool = torch.nn.AvgPool1d(2, 2)
-
-        def forward(self, x):
-            h, _ = self.lstm(x)
-            y = self.post_linear(h).permute(0, 2, 1)
-            return self.pool(y).permute(0, 2, 1)
-
-    class Emb(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.lstm = torch.nn.LSTM(60, 720, num_layers=2, batch_first=True)
-            self.linear_mapping = torch.nn.Linear(720, 300)
-
-        def forward(self, x):
-            h, _ = self.lstm(x)
-            return self.linear_mapping(h[:, -1, :])
-
-    return Fwd().double(), Emb().double()
+    fwd = M.ForwardModel(num_lstm_layers=1, hidden_size=720).double()
+    emb = M.EmbeddingModel(num_lstm_layers=2, hidden_size=720).double()
+    inv = M.InverseModelMelTimeSmoothResidual(
+        num_lstm_layers=1, hidden_size=720).double()
+    cp_gen = M.Generator().double()
+    mel_gen = M.Generator(output_size=60).double()
+    return fwd, emb, inv, cp_gen, mel_gen
 
 
 def convert_params(fwd, emb):
@@ -100,87 +102,57 @@ def convert_params(fwd, emb):
             TC.convert("embedder", emb.state_dict()))
 
 
-def bench_torch(target, fwd, emb, n_outer):
-    """Faithful torch-f64-CPU planning loop at full fidelity: n_outer outer
-    iterations of [n_inner planning steps with synthesis each step] +
-    continue-learning.  Returns (wall_seconds, prod_losses)."""
-    import random
+def bench_reference(target, models, init_cp, n_outer, *, plant="ours"):
+    """One timed run of the reference's own plan_resynth (real code,
+    continue-learning on).  Returns (wall_s, final_prod_loss).
 
+    ``plant`` selects the synthesizer the reference plans through:
+
+    * ``"ours"`` (default, the headline comparison): our C++ synthesizer is
+      injected as ``paule.paule.speak`` — both legs then share target,
+      plant, and DSP numerics, so the measured difference is purely the
+      framework's compute path, while the planning CODE is the reference's
+      actual /root/reference/paule/paule.py:391.  (With different plants a
+      shared target is unfair in whichever direction the plant's acoustics
+      sit closer to the target — VTL barely phonates on the bench
+      trajectory, its audio RMS is ~16x quieter than ours.)
+    * ``"vtl"``: the reference's own native VocalTractLab library, fully
+      authentic end to end (opt-in extra, BENCH_VTL_PLANT=1); the target
+      is then VTL's own copy-synthesis audio.
+    """
     import torch
+    import paule.paule as P
+    import paule.util as U
 
-    from paule_tpu import synth
-    from paule_tpu.dsp.mel import librosa_melspec
-    from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
-
+    fwd, emb, inv, cp_gen, mel_gen = models
     torch.set_num_threads(os.cpu_count() or 1)
-    py_rng = random.Random(1)
 
+    if plant == "ours":
+        from paule_tpu import synth
+
+        def speak_ours(cp_denorm):
+            return synth.speak(np.asarray(cp_denorm, dtype=np.float64))
+
+        P.speak = speak_ours
+        U_speak = speak_ours
+    else:
+        P.speak = U.speak  # restore (a prior "ours" run may have patched it)
+
+    model = P.Paule(pred_model=fwd, inv_model=inv, embedder=emb,
+                    cp_gen_model=cp_gen, mel_gen_model=mel_gen,
+                    device=torch.device("cpu"))
     sig, sr = target
-    tmel = np.asarray(normalize_mel(librosa_melspec(sig, sr)),
-                      dtype=np.float64)
-    tmel -= tmel.min()  # reference paule.py:527 (produced mel stays unshifted)
-    tmel = torch.from_numpy(tmel[None])
-    with torch.no_grad():
-        tsem = emb(tmel)
-
-    def rmse(a, b):
-        return torch.sqrt(torch.mean((a - b) ** 2))
-
-    def d5(x):
-        return (-x[:, 4:] + 8 * x[:, 3:-1] - 8 * x[:, 1:-3] + x[:, :-4]) / 12
-
-    xx = torch.zeros(1, 2 * tmel.shape[1], 30, dtype=torch.float64,
-                     requires_grad=True)
-    opt = torch.optim.Adam([xx], lr=LR_PLANNING)
-    f_opt = torch.optim.Adam(fwd.parameters(), lr=LR_LEARNING)
-
-    prod_losses = []
     t0 = time.perf_counter()
-    for _outer in range(n_outer):
-        snapshots_cp, snapshots_mel = [], []
-        for _inner in range(N_INNER):
-            opt.zero_grad()
-            pm = fwd(xx)
-            ps = emb(pm)
-            vel = d5(xx)
-            jerk = d5(d5(vel))
-            ll = (2 * xx[:, 1:-1] - xx[:, :-2] - xx[:, 2:]) / 2
-            loss = (5.0 * rmse(pm, tmel) + 10.0 * rmse(ps, tsem)
-                    + 80.0 * torch.mean(vel**2) + 400.0 * torch.mean(jerk**2)
-                    + 100_000.0 * torch.mean(ll**2))
-            loss.backward()
-            # snapshot BEFORE the update (reference paule.py:1065-1115)
-            cps = xx[0].detach().numpy().copy()
-            s, r = synth.speak(inv_normalize_cp(cps))
-            pmel = np.asarray(normalize_mel(librosa_melspec(s, r)),
-                              dtype=np.float64)
-            prod_losses.append(5.0 * float(
-                rmse(torch.from_numpy(pmel[None]), tmel)))
-            with torch.no_grad():
-                _ = emb(torch.from_numpy(pmel[None]))  # prod semvec logging
-            snapshots_cp.append(cps)
-            snapshots_mel.append(pmel)
-            opt.step()
-            with torch.no_grad():
-                xx.clamp_(-1.05, 1.05)
-
-        # continue-learning (reference paule.py:1244-1454): sample
-        # batch_size*n_batches snapshots, same-size batching, n_epochs
-        want = BATCH_SIZE * N_BATCHES
-        k = min(want, len(snapshots_cp))
-        idx = py_rng.sample(range(len(snapshots_cp)), k)
-        cps_all = torch.from_numpy(np.stack([snapshots_cp[i] for i in idx]))
-        mels_all = torch.from_numpy(np.stack([snapshots_mel[i] for i in idx]))
-        for _ep in range(N_EPOCHS):
-            order = list(range(k))
-            py_rng.shuffle(order)
-            for b in range(k // BATCH_SIZE):
-                bidx = order[b * BATCH_SIZE:(b + 1) * BATCH_SIZE]
-                f_opt.zero_grad()
-                tr_loss = rmse(fwd(cps_all[bidx]), mels_all[bidx])
-                tr_loss.backward()
-                f_opt.step()
-    return time.perf_counter() - t0, prod_losses
+    r = model.plan_resynth(
+        target_acoustic=(sig, float(sr)), objective="acoustic_semvec",
+        initial_cp=init_cp.copy(), initialize_from=None, log_ii=1,
+        log_semantics=True, learning_rate_planning=LR_PLANNING,
+        learning_rate_learning=LR_LEARNING, n_outer=n_outer,
+        n_inner=N_INNER, n_batches=N_BATCHES, batch_size=BATCH_SIZE,
+        n_epochs=N_EPOCHS, continue_learning=True, verbose=False,
+        plot=False)
+    dt = time.perf_counter() - t0
+    return dt, float(r.prod_loss_steps[-1])
 
 
 def make_paule(params_fwd, params_emb):
@@ -201,22 +173,34 @@ def run_ours(p, target, init_cp, n_outer):
 
 
 def main():
-    target = make_target()
     # stage markers on stderr: if the driver's timeout kills the run (e.g.
     # during a TPU-tunnel outage), the captured tail shows where it died
     def stage(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    fwd, emb = make_torch_models()
+    # initialize the JAX TPU backend BEFORE anything imports torch: on the
+    # tunneled-TPU host, importing torch first deadlocks backend init
+    # (observed: futex wait forever on the first device call)
+    import jax
+
+    jax.devices()
+    stage(f"jax backend ready: {jax.default_backend()}")
+
+    models = make_reference_models()
+    fwd, emb = models[0], models[1]
     params_fwd, params_emb = convert_params(fwd, emb)
 
+    cp_true = make_cp_true()
+    target = make_target_ours(cp_true)
+
     from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.ops.lstm import pallas_enabled
     from paule_tpu.ops.normalize import normalize_mel
 
     n_mel = np.asarray(normalize_mel(
         librosa_melspec(target[0], target[1]))).shape[0]
     init_cp = np.zeros((2 * n_mel, 30))
-    stage("target + converted weights ready")
+    stage("reference models + converted weights + targets ready")
 
     # ---- loss parity: same budget, same init, both sides measured fully ----
     p = make_paule(params_fwd, params_emb)
@@ -224,10 +208,32 @@ def main():
     r_parity = run_ours(p, target, init_cp, PARITY_OUTER)  # cold (compiles)
     loss_ours = float(r_parity.prod_loss_steps[-1])
 
-    stage(f"torch-f64-CPU leg ({PARITY_OUTER} outer iterations, ~200 s "
-          "each on a 1-core host)...")
-    t_torch_parity, torch_losses = bench_torch(target, fwd, emb, PARITY_OUTER)
-    loss_torch = float(torch_losses[-1])
+    stage(f"reference leg: the reference's own plan_resynth (our synth "
+          f"injected as its plant), {PARITY_OUTER} outer iterations "
+          "(~4 min each on a 1-core host)...")
+    t_ref_parity, loss_ref = bench_reference(
+        target, models, init_cp, PARITY_OUTER, plant="ours")
+
+    vtl_extra = None
+    if os.environ.get("BENCH_VTL_PLANT", "0") == "1":
+        stage("extra: fully-authentic reference leg (VTL plant, VTL "
+              "copy-synthesis target)...")
+        import paule.util as U
+
+        vtl_target = U.speak(U.inv_normalize_cp(cp_true))
+        vtl_target = (vtl_target[0], float(vtl_target[1]))
+        n_mel_v = np.asarray(normalize_mel(
+            librosa_melspec(*vtl_target))).shape[0]
+        t_vtl, loss_vtl = bench_reference(
+            vtl_target, models, np.zeros((2 * n_mel_v, 30)), PARITY_OUTER,
+            plant="vtl")
+        vtl_extra = {
+            "t_measured_s": round(t_vtl, 3),
+            "final_prod_loss": round(loss_vtl, 4),
+            "note": "reference end to end with its own native VTL plant "
+                    "and VTL copy-synthesis target (different plant => "
+                    "loss not comparable across legs)",
+        }
 
     # ---- timing at the full default budget (n_outer=10) ----
     stage("timing run (ours, full default budget)...")
@@ -236,33 +242,45 @@ def main():
     t0 = time.perf_counter()
     run_ours(p3, target, init_cp, FULL_OUTER)
     t_ours_full = time.perf_counter() - t0
-    t_torch_full = t_torch_parity * (FULL_OUTER / PARITY_OUTER)
+    t_ref_full = t_ref_parity * (FULL_OUTER / PARITY_OUTER)
 
-    speedup = t_torch_full / t_ours_full
-    rel = abs(loss_ours - loss_torch) / max(abs(loss_torch), 1e-9)
+    speedup = t_ref_full / t_ours_full
+    rel = abs(loss_ours - loss_ref) / max(abs(loss_ref), 1e-9)
     print(json.dumps({
         "metric": "plan_resynth speedup at the reference default budget "
                   "(10 outer x 25 inner, synthesis every step, "
-                  "continue-learning) vs torch-f64-CPU reference-equivalent, "
-                  "at matching final produced-mel loss",
+                  "continue-learning) vs the reference's ACTUAL "
+                  "plan_resynth code (own torch models, torch-f64-CPU, "
+                  "shared plant + target + DSP), at matching final "
+                  "produced-mel loss",
         "value": round(speedup, 2),
         "unit": "x",
         "vs_baseline": round(speedup, 2),
         "detail": {
             "t_ours_s": round(t_ours_full, 3),
-            "t_torch_cpu_s": round(t_torch_full, 3),
-            "t_torch_measured_s": round(t_torch_parity, 3),
-            "torch_timing": f"measured over {PARITY_OUTER} full outer "
-                            f"iterations, scaled x{FULL_OUTER}/{PARITY_OUTER}",
+            "t_reference_s": round(t_ref_full, 3),
+            "t_reference_measured_s": round(t_ref_parity, 3),
+            "reference_timing": f"measured over {PARITY_OUTER} full outer "
+                                f"iterations of /root/reference/paule/"
+                                f"paule.py:391, scaled x{FULL_OUTER}/"
+                                f"{PARITY_OUTER}",
+            "reference_torch_threads": os.cpu_count() or 1,
+            "thread_note": "reference leg uses torch with all host cores; "
+                           "this host has few cores, a many-core host "
+                           "would narrow the gap severalfold",
+            "pallas_lstm_active": bool(pallas_enabled()),
             "loss_ours": round(loss_ours, 4),
-            "loss_torch": round(loss_torch, 4),
+            "loss_reference": round(loss_ref, 4),
             "loss_rel_diff": round(rel, 4),
             "loss_parity_ok": bool(rel <= 0.10),
             "loss_parity_budget_n_outer": PARITY_OUTER,
             "loss_semantics": "MEL_WEIGHT * RMSE(produced mel, target mel), "
-                              "final logged step; both sides same converted "
+                              "final logged step; both legs same converted "
                               "init weights, same zero initial trajectory, "
-                              "same synthesizer + mel front-end",
+                              "same copy-synthesis target, same plant (our "
+                              "C++ synthesizer injected as paule.paule."
+                              "speak), same mel numerics",
+            "reference_vtl_plant_extra": vtl_extra,
         },
     }))
 
