@@ -29,15 +29,25 @@ POST /plan_batch   {"signals": [<array>, ...], "sample_rate": int,
                    -> {"results": [per-utterance planned cp/audio/losses]}
 
 All POST endpoints return 503 (with a retry hint) while warming and while
-startup is failed.
+startup is failed.  Robustness limits: request bodies above
+``PauleService.MAX_REQUEST_BYTES`` (64 MB default) are rejected with 413
+before being read; planning requests beyond a bounded queue
+(``PLAN_QUEUE_LIMIT``, default 4 waiting) or whose lock wait exceeds
+``PLAN_WAIT_TIMEOUT_S`` get 429 with a Retry-After header.
 """
 
 import base64
+import contextlib
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class ServiceBusy(Exception):
+    """Raised when the planning queue is full or the wait timed out; the
+    HTTP layer maps it to 429 with a Retry-After hint."""
 
 
 def encode_array(arr):
@@ -65,9 +75,27 @@ def decode_array(obj):
 class PauleService:
     """The request handlers, separated from HTTP plumbing for testability."""
 
-    def __init__(self, paule_model=None, defer_model=False, **paule_kwargs):
+    #: request bodies above this are rejected with 413 before being read
+    MAX_REQUEST_BYTES = 64 << 20
+    #: requests allowed to WAIT on the plan lock (on top of the running
+    #: one); beyond this the service answers 429 immediately
+    PLAN_QUEUE_LIMIT = 4
+    #: max seconds a queued plan request waits for the lock before 429
+    PLAN_WAIT_TIMEOUT_S = 300.0
+
+    def __init__(self, paule_model=None, defer_model=False,
+                 max_request_bytes=None, plan_queue_limit=None,
+                 plan_wait_timeout_s=None, **paule_kwargs):
         self._paule_kwargs = paule_kwargs
         self._plan_lock = threading.Lock()
+        self._waiters_lock = threading.Lock()
+        self._plan_waiters = 0
+        if max_request_bytes is not None:
+            self.MAX_REQUEST_BYTES = int(max_request_bytes)
+        if plan_queue_limit is not None:
+            self.PLAN_QUEUE_LIMIT = int(plan_queue_limit)
+        if plan_wait_timeout_s is not None:
+            self.PLAN_WAIT_TIMEOUT_S = float(plan_wait_timeout_s)
         #: cleared while the model constructs / the warmup planning call
         #: compiles XLA programs; /health reports "warming" and the compute
         #: endpoints 503 so load balancers retry instead of timing out
@@ -86,6 +114,36 @@ class PauleService:
         from .api import Paule
 
         self.model = Paule(**self._paule_kwargs)
+
+    @contextlib.contextmanager
+    def _plan_slot(self):
+        """Bounded admission to the (exclusive) planning lock.
+
+        A running plan holds the lock for its full duration — planning is
+        minutes-long by design — so uncontrolled callers would pile up
+        threads indefinitely.  At most PLAN_QUEUE_LIMIT requests may wait,
+        each for at most PLAN_WAIT_TIMEOUT_S; everything beyond that gets
+        :class:`ServiceBusy` (HTTP 429) so clients back off instead of
+        hanging."""
+        with self._waiters_lock:
+            if self._plan_waiters >= self.PLAN_QUEUE_LIMIT:
+                raise ServiceBusy(
+                    f"plan queue full ({self.PLAN_QUEUE_LIMIT} waiting); "
+                    "retry later")
+            self._plan_waiters += 1
+        try:
+            if not self._plan_lock.acquire(
+                    timeout=self.PLAN_WAIT_TIMEOUT_S):
+                raise ServiceBusy(
+                    f"timed out after {self.PLAN_WAIT_TIMEOUT_S:.0f}s "
+                    "waiting for the planning lock; retry later")
+        finally:
+            with self._waiters_lock:
+                self._plan_waiters -= 1
+        try:
+            yield
+        finally:
+            self._plan_lock.release()
 
     def health(self):
         import jax
@@ -139,7 +197,7 @@ class PauleService:
             raise ValueError(
                 f"unknown plan_batch parameters: {sorted(unknown)}; "
                 f"allowed: {sorted(allowed)}")
-        with self._plan_lock:
+        with self._plan_slot():
             per_utt = plan_corpus_batched(
                 self.model, [(s, sr) for s in signals], max_batch=max_batch,
                 plan_kwargs=dict(payload), verbose=False)
@@ -166,7 +224,7 @@ class PauleService:
                 f"unknown plan parameters: {sorted(unknown)}; "
                 f"allowed: {sorted(allowed)}")
         kwargs = dict(payload)
-        with self._plan_lock:
+        with self._plan_slot():
             results = self.model.plan_resynth(
                 target_acoustic=(sig, sr), verbose=False, **kwargs)
         return {
@@ -210,6 +268,11 @@ def make_server(service, host="127.0.0.1", port=8750):
                                               "programs); retry shortly"})
                     return
                 n = int(self.headers.get("Content-Length", 0))
+                if n > service.MAX_REQUEST_BYTES:
+                    self._send(413, {
+                        "error": f"request body {n} bytes exceeds the "
+                                 f"{service.MAX_REQUEST_BYTES}-byte limit"})
+                    return
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/synthesize":
                     self._send(200, service.synthesize(payload))
@@ -221,6 +284,14 @@ def make_server(service, host="127.0.0.1", port=8750):
                     self._send(200, service.plan_batch(payload))
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
+            except ServiceBusy as exc:
+                self.send_response(429)
+                body = json.dumps({"error": str(exc)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "30")
+                self.end_headers()
+                self.wfile.write(body)
             except (KeyError, ValueError, TypeError) as exc:
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
             except Exception as exc:  # noqa: BLE001

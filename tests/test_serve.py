@@ -15,15 +15,20 @@ from paule_tpu.ops.normalize import inv_normalize_cp, normalize_cp
 
 
 @pytest.fixture(scope="module")
-def server():
+def stack():
     synth.initialize()
     service = serve.PauleService(Paule(seed=9))
     httpd = serve.make_server(service, "127.0.0.1", 0)  # ephemeral port
     port = httpd.server_address[1]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
-    yield f"http://127.0.0.1:{port}"
+    yield f"http://127.0.0.1:{port}", service
     httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(stack):
+    return stack[0]
 
 
 def _post(url, payload):
@@ -222,3 +227,47 @@ def test_concurrent_synthesize(server):
         outs = list(ex.map(call, cps))
     for out, ref in zip(outs, serial):
         np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_oversized_request_413(stack):
+    url, service = stack
+    old = service.MAX_REQUEST_BYTES
+    service.MAX_REQUEST_BYTES = 100
+    try:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(url + "/embed", {"mel": [[0.0] * 60] * 20})
+        assert err.value.code == 413
+        assert "limit" in json.loads(err.value.read())["error"]
+    finally:
+        service.MAX_REQUEST_BYTES = old
+
+
+def test_plan_queue_full_429(stack):
+    url, service = stack
+    old = service.PLAN_QUEUE_LIMIT
+    service.PLAN_QUEUE_LIMIT = 0
+    try:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(url + "/plan", {"signal": [0.0] * 2200, "n_outer": 1,
+                                  "n_inner": 1})
+        assert err.value.code == 429
+        assert err.value.headers["Retry-After"]
+        assert "queue full" in json.loads(err.value.read())["error"]
+    finally:
+        service.PLAN_QUEUE_LIMIT = old
+
+
+def test_plan_lock_wait_timeout_429(stack):
+    url, service = stack
+    old_t = service.PLAN_WAIT_TIMEOUT_S
+    service.PLAN_WAIT_TIMEOUT_S = 0.05
+    service._plan_lock.acquire()  # simulate a long-running plan
+    try:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(url + "/plan", {"signal": [0.0] * 2200, "n_outer": 1,
+                                  "n_inner": 1})
+        assert err.value.code == 429
+        assert "timed out" in json.loads(err.value.read())["error"]
+    finally:
+        service._plan_lock.release()
+        service.PLAN_WAIT_TIMEOUT_S = old_t
