@@ -137,7 +137,7 @@ def plan_corpus(paule_model, files, save_dir, *, semvec_lookup=None,
 
 def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
                         semvecs=None, plan_kwargs=None, verbose=True,
-                        on_result=None):
+                        on_result=None, pad_to_multiple=None):
     """Plan a corpus data-parallel: utterances bucket by EXACT mel length
     (no padding, no masking — planning losses stay exact, mirroring the
     same-size batching idea of continue-learning), each bucket splits into
@@ -154,6 +154,18 @@ def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
     metric curves the model logs.  ``on_result(index, result)`` fires as
     soon as each utterance's batch completes (for incremental/resume-safe
     persistence).
+
+    ``pad_to_multiple``: with exact-length bucketing alone, a realistic
+    corpus of diverse lengths degenerates into many B=1 buckets (one XLA
+    compilation each).  Set e.g. ``pad_to_multiple=16`` to round every
+    target mel length UP to a multiple of 16 frames by appending silence
+    frames (exactly 0 in normalized units — the anchor value), merging
+    near-lengths into shared buckets; planned trajectories and produced
+    outputs are trimmed back to each utterance's true length.  The
+    trailing frames plan a bit of silence, which costs a few percent of
+    compute but no loss fidelity on the real frames (losses in
+    ``*_curve`` are still computed over the padded target; final
+    reported metrics should use the trimmed outputs).
     """
     from .dsp.targets import audio_target_to_mel
     from .parallel import batched
@@ -167,6 +179,11 @@ def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
         return np.asarray(t)  # precomputed normalized mel
 
     mels = [to_mel(t) for t in targets]
+    true_frames = [m.shape[0] for m in mels]
+    if pad_to_multiple:
+        k = int(pad_to_multiple)
+        mels = [np.pad(m, ((0, (-m.shape[0]) % k), (0, 0)))
+                if m.shape[0] % k else m for m in mels]
     buckets = {}
     for i, m in enumerate(mels):
         buckets.setdefault(m.shape[0], []).append(i)
@@ -188,10 +205,11 @@ def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
             out = batched.plan_batch_resynth(
                 paule_model, tmels, tsem, mesh=batch_mesh, **plan_kwargs)
             for j, i in enumerate(batch_idx):
+                n_true = true_frames[i]
                 per = {
-                    "planned_cp": out["planned_cp"][j],
-                    "prod_sig": out["prod_sigs"][j],
-                    "prod_mel": out["prod_mels"][j],
+                    "planned_cp": out["planned_cp"][j][:2 * n_true],
+                    "prod_sig": out["prod_sigs"][j][:(2 * n_true - 1) * 110],
+                    "prod_mel": out["prod_mels"][j][:n_true],
                     "prod_loss_curve": out["prod_loss_curve"][:, j],
                 }
                 for key, val in out.items():

@@ -107,3 +107,35 @@ def test_discover_targets_skips_batched_results(tmp_path):
     files = discover_targets(str(tmp_path / "data"),
                              save_dir=str(tmp_path / "save"), shuffle=False)
     assert [os.path.basename(f) for f in files] == ["b_lab.wav"]
+
+
+def test_plan_corpus_batched_pad_to_multiple():
+    """pad_to_multiple merges near-lengths into shared buckets (silence-
+    padded targets), and every per-utterance output is trimmed back to its
+    TRUE length."""
+    from paule_tpu.experiments import plan_corpus_batched
+
+    synth.initialize()
+    p = Paule(seed=22)
+    rng = np.random.default_rng(10)
+    lengths = (22, 26, 30, 32)  # all distinct: exact bucketing -> 4 buckets
+    targets = []
+    for n_cp in lengths:
+        cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1, -1, 1)
+        targets.append(synth.speak(inv_normalize_cp(cp)))
+
+    compiled_lengths = []
+    results = plan_corpus_batched(
+        p, targets, max_batch=4, verbose=False, pad_to_multiple=16,
+        on_result=lambda i, r: compiled_lengths.append(i),
+        plan_kwargs=dict(n_outer=1, n_inner=2, objective="acoustic",
+                         continue_learning=False))
+    assert len(results) == 4
+    for i, n_cp in enumerate(lengths):
+        assert results[i]["planned_cp"].shape == (n_cp, 30)
+        assert results[i]["prod_sig"].shape == ((n_cp - 1) * 110,)
+        assert results[i]["prod_mel"].shape[0] == n_cp // 2
+        assert np.isfinite(results[i]["prod_loss_curve"]).all()
+    # 22,26,30,32 cp frames = 11,13,15,16 mel frames -> all pad to 16: ONE
+    # bucket of 4 instead of 4 buckets of 1
+    assert len(compiled_lengths) == 4
