@@ -56,7 +56,15 @@ def _to_np(x):
 class Paule:
     """Keeps the state of the predictive/inverse/embedder models (and the
     optional speech-classifier or somatosensory models), the continue-
-    learning replay data, and the best-synthesis trackers."""
+    learning replay data, and the best-synthesis trackers.
+
+    ``continue_data`` seeds the replay buffer (a DataFrame with cp/mel
+    columns, capped at 1000 rows).  NOTE the reference-faithful semantics
+    (/root/reference/paule/paule.py:1440): with ``continue_data=None`` the
+    buffer stays empty FOREVER — produced snapshots train the models within
+    each ``plan_resynth`` call but are not accumulated across calls.
+    Cross-call replay requires seeding ``continue_data`` with a (possibly
+    tiny) DataFrame."""
 
     def __init__(self, *, pred_model=None, pred_optimizer=None,
                  inv_model=None, inv_optimizer=None, embedder=None,

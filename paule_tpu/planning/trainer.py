@@ -306,6 +306,12 @@ class ReplayBuffer:
         import pandas as pd
 
         if self.data is None:
+            # Reference quirk kept deliberately
+            # (/root/reference/paule/paule.py:1440): a buffer constructed
+            # empty (``continue_data=None``) NEVER accumulates — produced
+            # data is discarded, so there is no cross-call replay unless the
+            # caller seeds ``Paule(continue_data=<DataFrame>)``.  Documented
+            # in the Paule docstring.
             return
         self.data = pd.concat([self.data, produced_df]).reset_index(drop=True)
         if len(self.data) > self.LIMIT:

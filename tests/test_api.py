@@ -410,3 +410,49 @@ def test_log_gradients_and_signals(paule_model, target):
     assert len(res.sig_steps) == n_logged
     n_audio = (res.planned_cp.shape[0] - 1) * 110
     assert all(s.shape == (n_audio,) for s in res.sig_steps)
+
+
+def _produced_mel_loss(planned_cp, target):
+    """MEL_WEIGHT * RMSE(produced mel, target mel) with the api's target
+    convention (normalized target shifted by its min; produced unshifted),
+    computed identically for any planned trajectory."""
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.ops.normalize import normalize_mel
+
+    sig, sr = target
+    tmel = np.asarray(normalize_mel(librosa_melspec(sig, sr)))
+    tmel = tmel - tmel.min()
+    psig, psr = synth.speak(inv_normalize_cp(np.asarray(planned_cp)))
+    pmel = np.asarray(normalize_mel(librosa_melspec(psig, psr)))
+    n = min(len(tmel), len(pmel))
+    return 5.0 * float(np.sqrt(np.mean((pmel[:n] - tmel[:n]) ** 2)))
+
+
+def test_plan_iterative_reaches_single_shot_loss(paule_model):
+    """VERDICT r2 item 6: the chunked planner is a quality feature, not just
+    a stitching exercise — on a long utterance its final produced mel loss
+    must be comparable to planning the whole utterance in one shot with the
+    same per-step budget (continue_learning off, so both runs start from
+    identical model state)."""
+    rng = np.random.default_rng(3)
+    cp_true = np.clip(rng.normal(0, 0.1, (97, 30)).cumsum(0) * 0.1, -1, 1)
+    long_target = synth.speak(inv_normalize_cp(cp_true))
+
+    budget = dict(objective="acoustic", n_outer=2, n_inner=6, log_ii=6,
+                  continue_learning=False, verbose=False)
+    r_single = paule_model.plan_resynth(
+        target_acoustic=long_target, initialize_from="acoustic", **budget)
+    loss_single = _produced_mel_loss(r_single.planned_cp, long_target)
+
+    planned_chunked, results = paule_model.plan_iterative(
+        target_acoustic=long_target, chunk_size=24, overlap=4, **budget)
+    assert len(results) == 2
+    loss_chunked = _produced_mel_loss(planned_chunked, long_target)
+
+    # chunked must stay within 25% of single-shot quality (same budget,
+    # same model state on both runs — continue_learning off).  Absolute
+    # improvement over doing nothing needs a trained proxy and is
+    # measured by tools/corpus_quality_run.py, not asserted here (this
+    # suite runs with random weights).
+    assert np.isfinite(loss_chunked) and np.isfinite(loss_single)
+    assert loss_chunked <= 1.25 * loss_single, (loss_chunked, loss_single)

@@ -1,0 +1,154 @@
+"""Corpus-scale quality run (VERDICT r2 item 6).
+
+Bootstraps the proxy models by motor babbling (pretrain.py), plans a 50+
+utterance corpus with ``experiments.plan_corpus_batched``, and reports the
+final produced-mel-loss distribution, plus a ``plan_iterative`` vs
+single-shot comparison on one long utterance.  Artifacts:
+
+* ``docs/measurements/results_loss_r03.txt`` — per-utterance final losses
+  (the reference notebook's ``results_loss.txt`` format, cells 29-37)
+* ``docs/measurements/corpus_r03.json`` — summary statistics
+
+Run (real TPU, ~20-40 min): PYTHONPATH=. python tools/corpus_quality_run.py
+Tunables: CORPUS_N (default 50), CORPUS_OUTER/INNER (default 4/10).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_UTT = int(os.environ.get("CORPUS_N", "50"))
+N_OUTER = int(os.environ.get("CORPUS_OUTER", "4"))
+N_INNER = int(os.environ.get("CORPUS_INNER", "10"))
+BABBLE_N = int(os.environ.get("CORPUS_BABBLE", "120"))
+BABBLE_EPOCHS = int(os.environ.get("CORPUS_BABBLE_EPOCHS", "12"))
+OUT_DIR = "docs/measurements"
+#: cp-frame lengths (even): few distinct values so exact-length buckets
+#: batch well (experiments.plan_corpus_batched buckets by exact mel length)
+LENGTHS = (80, 120, 160, 200)
+
+
+def log(msg):
+    print(f"[corpus] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    from paule_tpu import pretrain, synth
+    from paule_tpu.api import Paule
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.experiments import plan_corpus_batched
+    from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
+
+    synth.initialize()
+    t_start = time.perf_counter()
+
+    # ---- 1. babble-bootstrap the forward proxy ----
+    log(f"babbling {BABBLE_N} utterances...")
+    corpus_train = pretrain.babble_corpus(BABBLE_N, seq_len=(40, 160),
+                                          seed=1, n_workers=4)
+    model = Paule(seed=2)
+    log(f"training forward proxy ({BABBLE_EPOCHS} epochs)...")
+    params, losses = pretrain.train_forward(
+        model.pred_model, model.pred_params, corpus_train,
+        batch_size=8, n_epochs=BABBLE_EPOCHS)
+    model.pred_params = params
+    model.pred_trainer.params = params
+    log(f"forward train loss: {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+    # ---- 2. the evaluation corpus: 50+ utterances, 4 length buckets ----
+    rng = np.random.default_rng(42)
+    pool = synth.SynthPool(size=4)
+    targets, true_cps = [], []
+    for i in range(N_UTT):
+        n = LENGTHS[i % len(LENGTHS)]
+        cp = pretrain.random_cp_trajectory(rng, n)
+        sig, sr = pool.speak(inv_normalize_cp(cp))
+        targets.append((sig, sr))
+        true_cps.append(cp)
+    log(f"corpus ready: {N_UTT} utterances, lengths {LENGTHS}")
+
+    # ---- 3. batched corpus planning ----
+    plan_kwargs = dict(objective="acoustic", n_outer=N_OUTER,
+                       n_inner=N_INNER, continue_learning=True,
+                       batch_size=8, n_epochs=2)
+    t0 = time.perf_counter()
+    results = plan_corpus_batched(model, targets, max_batch=8,
+                                  plan_kwargs=plan_kwargs, verbose=True)
+    t_corpus = time.perf_counter() - t0
+
+    final = np.array([float(r["prod_loss_curve"][-1]) for r in results])
+    first = np.array([float(r["prod_loss_curve"][0]) for r in results])
+    improved = float(np.mean(final < first))
+    log(f"corpus planned in {t_corpus:.0f} s; "
+        f"median final loss {np.median(final):.3f} "
+        f"(initial {np.median(first):.3f}); {improved:.0%} improved")
+
+    # results_loss.txt (reference notebook format)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    txt = os.path.join(OUT_DIR, "results_loss_r03.txt")
+    with open(txt, "w") as fh:
+        fh.write("file\tlabel\tprod_loss\tprod_loss_initial\n")
+        for i, r in enumerate(results):
+            fh.write(f"utt{i:03d}\tbabble\t{final[i]:.6f}\t"
+                     f"{first[i]:.6f}\n")
+
+    # ---- 4. plan_iterative vs single-shot on one long utterance ----
+    n_long = 400
+    cp_long = pretrain.random_cp_trajectory(rng, n_long)
+    long_target = pool.speak(inv_normalize_cp(cp_long))
+    pool.close()
+
+    def produced_loss(planned_cp):
+        tmel = np.asarray(normalize_mel(librosa_melspec(*long_target)))
+        tmel = tmel - tmel.min()
+        psig, psr = synth.speak(inv_normalize_cp(np.asarray(planned_cp)))
+        pmel = np.asarray(normalize_mel(librosa_melspec(psig, psr)))
+        n = min(len(tmel), len(pmel))
+        return 5.0 * float(np.sqrt(np.mean((pmel[:n] - tmel[:n]) ** 2)))
+
+    budget = dict(objective="acoustic", n_outer=N_OUTER, n_inner=N_INNER,
+                  log_ii=N_INNER, continue_learning=False, verbose=False)
+    log("single-shot long utterance...")
+    r_single = model.plan_resynth(target_acoustic=long_target,
+                                  initialize_from="acoustic", **budget)
+    loss_single = produced_loss(r_single.planned_cp)
+    log("chunked long utterance (chunk 64 mel frames, overlap 8)...")
+    planned_chunked, _ = model.plan_iterative(
+        target_acoustic=long_target, chunk_size=64, overlap=8, **budget)
+    loss_chunked = produced_loss(planned_chunked)
+    log(f"single-shot {loss_single:.3f} vs chunked {loss_chunked:.3f}")
+
+    summary = {
+        "n_utterances": N_UTT,
+        "budget": plan_kwargs,
+        "babble": {"n": BABBLE_N, "epochs": BABBLE_EPOCHS,
+                   "train_loss_first": round(float(losses[0]), 4),
+                   "train_loss_last": round(float(losses[-1]), 4)},
+        "corpus_wall_s": round(t_corpus, 1),
+        "final_prod_loss": {
+            "median": round(float(np.median(final)), 4),
+            "mean": round(float(np.mean(final)), 4),
+            "p10": round(float(np.percentile(final, 10)), 4),
+            "p90": round(float(np.percentile(final, 90)), 4),
+        },
+        "initial_prod_loss_median": round(float(np.median(first)), 4),
+        "fraction_improved": improved,
+        "long_utterance": {
+            "cp_frames": 2 * (1 + n_long * 110 // 220),
+            "single_shot_loss": round(loss_single, 4),
+            "chunked_loss": round(loss_chunked, 4),
+            "chunked_over_single": round(loss_chunked / loss_single, 3),
+        },
+        "total_wall_s": round(time.perf_counter() - t_start, 1),
+    }
+    with open(os.path.join(OUT_DIR, "corpus_r03.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
