@@ -77,7 +77,8 @@ class Paule:
                  speech_classifier_optimizer=None,
                  pretrained_dir=None, seed=20200905, dtype=None,
                  synthesis_async=True, synthesis_error="raise",
-                 physical_forward=False, speaker="default"):
+                 physical_forward=False, speaker="default",
+                 plan_overlap=False):
         del device  # JAX manages device placement; kept for API parity
         del pred_optimizer, inv_optimizer, tube_optimizer  # created below
         del tube_mel_optimizer, speech_classifier_optimizer
@@ -99,6 +100,22 @@ class Paule:
         #: 'skip' substitutes silence for a failed snapshot and keeps
         #: planning (production isolation)
         self.synthesis_error = synthesis_error
+        #: overlap host synthesis with device planning by running each
+        #: outer iteration's scan as a few log_ii-aligned chunks: the
+        #: first chunk's snapshots synthesize on the host while the device
+        #: is still planning the later chunks.  Numerically EXACT vs the
+        #: single-scan path (the chunked calls consume the same per-step
+        #: key array — tests/test_api.py::test_plan_overlap_exact).
+        #: True -> 2 chunks; an int -> that many chunks.  Each extra chunk
+        #: costs one extra blocking device round-trip.  Default OFF: through
+        #: this dev host's ~20 ms tunnel the round-trips eat the overlap
+        #: (measured break-even at the default budget); enable it on
+        #: direct-attached TPU hosts or when host synthesis dominates
+        #: (somatosensory tube extraction, long utterances).
+        self.plan_overlap = plan_overlap
+        self._overlap_chunks = (plan_overlap if isinstance(plan_overlap, int)
+                                and not isinstance(plan_overlap, bool)
+                                else 2)
         self._py_rng = random.Random(seed)
         self._jax_rng = jax.random.PRNGKey(seed)
 
@@ -787,39 +804,91 @@ class Paule:
             params_dynamic, models_static = engine.split_bundle(bundle)
 
             _t0 = time.perf_counter()
-            # ---- ONE compiled scan for the whole outer iteration ----
-            # (n_inner steps; per-step snapshots/sub-losses come back from
-            # the scan, so planning needs a single device round-trip per
-            # outer iteration instead of one per inner step — crucial when
-            # the TPU is reached through a high-latency tunnel)
-            xx, opt_state, seg_out = engine.plan_segment(
-                params_dynamic, models_static, xx, opt_state,
-                target_mel_dev, target_semvec_dev, self._next_rng(),
-                n_steps=n_inner, objective=objective,
-                use_speech_classifier=self.use_speech_classifier,
-                use_somatosensory=self.use_somatosensory_feedback,
-                log_semantics=log_semantics, constraints=constraints,
-                lr=learning_rate_planning, log_every=log_ii)
-
             # logged steps: the last step of each log_ii-segment; remainder
             # steps (n_inner % log_ii) run but are never logged, like the
-            # reference (slicing happened inside the compiled program)
+            # reference (slicing happens inside the compiled program)
             want_semvec = (objective in ("semvec", "acoustic_semvec")
                            or log_semantics)
-            snaps_dev = seg_out["xx_pre"][:, 0]  # (L, T, 30)
-            fetch = {
-                "subs": seg_out["sub_losses"],
-                "xx_pre": snaps_dev,
-                "pred_mel": seg_out["pred_mel"][:, 0],
-            }
-            if want_semvec:
-                fetch["pred_semvec"] = seg_out["pred_semvec"][:, 0]
-            if verbose:
-                fetch["grad_max"] = seg_out["grad_max"]
-                fetch["grad_min"] = seg_out["grad_min"]
-            if log_gradients:
-                fetch["grads"] = seg_out["grads"]
-            host = jax.device_get(fetch)  # one transfer point for all steps' logs
+
+            def _fetch_of(seg_out):
+                f = {"subs": seg_out["sub_losses"],
+                     "xx_pre": seg_out["xx_pre"][:, 0],   # (L, T, 30)
+                     "pred_mel": seg_out["pred_mel"][:, 0]}
+                if want_semvec:
+                    f["pred_semvec"] = seg_out["pred_semvec"][:, 0]
+                if verbose:
+                    f["grad_max"] = seg_out["grad_max"]
+                    f["grad_min"] = seg_out["grad_min"]
+                if log_gradients:
+                    f["grads"] = seg_out["grads"]
+                return f
+
+            overlap = (self.plan_overlap and self.synthesis_async
+                       and n_segments > 1)
+            synth_futures = None
+            if overlap:
+                # ---- chunked scan dispatch: synthesis overlaps planning --
+                # A handful of log_ii-aligned chunks queue back to back on
+                # the device (dispatch is async); the host fetches each
+                # chunk's snapshots as that chunk completes and starts
+                # synthesizing them while the device is still planning the
+                # later chunks.  EXACT vs the single-scan path: the chunks
+                # consume slices of the same per-step key array
+                # plan_segment would split internally, and the constraint
+                # projections anchor to the same iteration-start
+                # trajectory.
+                all_rngs = jax.random.split(self._next_rng(), n_inner)
+                xx_start = xx
+                n_chunks = max(2, self._overlap_chunks)
+                spc = max(1, -(-n_segments // n_chunks)) * log_ii
+                chunk_outs = []
+                c0 = 0
+                while c0 < n_inner:
+                    c1 = min(c0 + spc, n_inner)
+                    if n_inner - c1 < log_ii:
+                        c1 = n_inner  # absorb the unlogged remainder
+                    xx, opt_state, seg_out = engine.plan_segment_keys(
+                        params_dynamic, models_static, xx, opt_state,
+                        xx_start, target_mel_dev, target_semvec_dev,
+                        all_rngs[c0:c1], objective=objective,
+                        use_speech_classifier=self.use_speech_classifier,
+                        use_somatosensory=self.use_somatosensory_feedback,
+                        log_semantics=log_semantics,
+                        constraints=constraints,
+                        lr=learning_rate_planning, log_every=log_ii)
+                    chunk_outs.append(seg_out)
+                    c0 = c1
+                snaps_dev = jnp.concatenate(
+                    [so["xx_pre"][:, 0] for so in chunk_outs])
+                synth_futures = []
+                host_chunks = []
+                for so in chunk_outs:
+                    hc = jax.device_get(_fetch_of(so))
+                    for row in np.asarray(hc["xx_pre"], dtype=np.float64):
+                        synth_futures.append(
+                            self._executor.submit(self._synthesize, row))
+                    host_chunks.append(hc)
+                host = jax.tree.map(
+                    lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+                    *host_chunks)
+            else:
+                # ---- ONE compiled scan for the whole outer iteration ----
+                # (n_inner steps; per-step snapshots/sub-losses come back
+                # from the scan, so planning needs a single device
+                # round-trip per outer iteration instead of one per inner
+                # step — crucial when the TPU is reached through a
+                # high-latency tunnel)
+                xx, opt_state, seg_out = engine.plan_segment(
+                    params_dynamic, models_static, xx, opt_state,
+                    target_mel_dev, target_semvec_dev, self._next_rng(),
+                    n_steps=n_inner, objective=objective,
+                    use_speech_classifier=self.use_speech_classifier,
+                    use_somatosensory=self.use_somatosensory_feedback,
+                    log_semantics=log_semantics, constraints=constraints,
+                    lr=learning_rate_planning, log_every=log_ii)
+                snaps_dev = seg_out["xx_pre"][:, 0]
+                # one transfer point for all steps' logs
+                host = jax.device_get(_fetch_of(seg_out))
             subs = host["subs"]
             snapshots = np.asarray(host["xx_pre"], dtype=np.float64)
             pred_mels = np.asarray(host["pred_mel"], dtype=np.float64)
@@ -866,7 +935,12 @@ class Paule:
             _t0 = time.perf_counter()
 
             # ---- host synthesis of all logged snapshots (parallel) ----
+            # (in overlap mode the jobs were already submitted during the
+            # planning fetch loop; this phase only collects them, so the
+            # "synthesis" timing shows the non-overlapped tail)
             def run_jobs():
+                if synth_futures is not None:
+                    return [f.result for f in synth_futures]
                 if self.synthesis_async:
                     return [self._executor.submit(self._synthesize,
                                                   snapshots[s]).result

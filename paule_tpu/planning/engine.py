@@ -177,6 +177,52 @@ def apply_constraints(xx, xx_init, cons: Constraints):
     return xx
 
 
+def _segment_scan(params_dynamic, models_static, xx, opt_state, xx_init,
+                  target_mel, target_semvec, rngs, *, objective,
+                  use_speech_classifier, use_somatosensory, log_semantics,
+                  constraints, lr, log_every=None):
+    """Shared scan body of ``plan_segment`` / ``plan_segment_keys``.
+
+    ``xx_init`` is the trajectory the constraint projections anchor to (the
+    outer-iteration start); it equals ``xx`` for a whole-iteration segment
+    but differs for a mid-iteration chunk.  ``rngs`` carries one key per
+    step — chunking a segment is exact because the caller slices the same
+    key array the single-segment path would have produced.
+    """
+    models = models_static._replace(**params_dynamic)
+    opt = optax.adam(lr)
+
+    def loss_fn(x, step_rng):
+        total, aux = criterion(
+            models, x, target_mel, target_semvec, objective=objective,
+            use_speech_classifier=use_speech_classifier,
+            use_somatosensory=use_somatosensory,
+            log_semantics=log_semantics, rng=step_rng)
+        return total, aux
+
+    def step(carry, step_rng):
+        x, state = carry
+        (_, (subs, pred_mel, pred_semvec, _pt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(x, step_rng)
+        updates, state = opt.update(grads, state)
+        x_new = apply_constraints(optax.apply_updates(x, updates), xx_init,
+                                  constraints)
+        gext = (jnp.max(grads), jnp.min(grads))
+        return (x_new, state), (subs, x, pred_mel, pred_semvec, grads, gext)
+
+    (xx_out, opt_state), \
+        (subs, xx_pre, pred_mels, pred_semvecs, grads, gext) = \
+        jax.lax.scan(step, (xx, opt_state), rngs)
+    logs = {"sub_losses": subs, "xx_pre": xx_pre, "pred_mel": pred_mels,
+            "pred_semvec": pred_semvecs, "grads": grads,
+            "grad_max": gext[0], "grad_min": gext[1]}
+    if log_every is not None:
+        n_logged = rngs.shape[0] // log_every
+        idx = jnp.arange(n_logged) * log_every + (log_every - 1)
+        logs = jax.tree.map(lambda a: a[idx], logs)
+    return xx_out, opt_state, logs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("models_static", "n_steps", "objective",
@@ -198,40 +244,40 @@ def plan_segment(params_dynamic, models_static, xx, opt_state, target_mel,
     i.e. step indices k-1, 2k-1, ...; trailing remainder steps unlogged) —
     avoiding host-side gather dispatches on the hot path.
     """
-    models = models_static._replace(**params_dynamic)
-    opt = optax.adam(lr)
-    xx_init = xx
-
-    def loss_fn(x, step_rng):
-        total, aux = criterion(
-            models, x, target_mel, target_semvec, objective=objective,
-            use_speech_classifier=use_speech_classifier,
-            use_somatosensory=use_somatosensory,
-            log_semantics=log_semantics, rng=step_rng)
-        return total, aux
-
-    def step(carry, step_rng):
-        x, state = carry
-        (_, (subs, pred_mel, pred_semvec, _pt)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(x, step_rng)
-        updates, state = opt.update(grads, state)
-        x_new = apply_constraints(optax.apply_updates(x, updates), xx_init,
-                                  constraints)
-        gext = (jnp.max(grads), jnp.min(grads))
-        return (x_new, state), (subs, x, pred_mel, pred_semvec, grads, gext)
-
     rngs = jax.random.split(rng, n_steps)
-    (xx_out, opt_state), \
-        (subs, xx_pre, pred_mels, pred_semvecs, grads, gext) = \
-        jax.lax.scan(step, (xx, opt_state), rngs)
-    logs = {"sub_losses": subs, "xx_pre": xx_pre, "pred_mel": pred_mels,
-            "pred_semvec": pred_semvecs, "grads": grads,
-            "grad_max": gext[0], "grad_min": gext[1]}
-    if log_every is not None:
-        n_logged = n_steps // log_every
-        idx = jnp.arange(n_logged) * log_every + (log_every - 1)
-        logs = jax.tree.map(lambda a: a[idx], logs)
-    return xx_out, opt_state, logs
+    return _segment_scan(
+        params_dynamic, models_static, xx, opt_state, xx, target_mel,
+        target_semvec, rngs, objective=objective,
+        use_speech_classifier=use_speech_classifier,
+        use_somatosensory=use_somatosensory, log_semantics=log_semantics,
+        constraints=constraints, lr=lr, log_every=log_every)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("models_static", "objective", "use_speech_classifier",
+                     "use_somatosensory", "log_semantics", "constraints",
+                     "lr", "log_every"))
+def plan_segment_keys(params_dynamic, models_static, xx, opt_state, xx_init,
+                      target_mel, target_semvec, rngs, *, objective,
+                      use_speech_classifier, use_somatosensory,
+                      log_semantics, constraints, lr, log_every=None):
+    """``plan_segment`` for one CHUNK of an outer iteration.
+
+    Takes the per-step key array directly (``rngs``, shape ``(steps, ...)``)
+    and the iteration-start trajectory ``xx_init`` the constraints anchor
+    to.  Running a 25-step segment as e.g. five 5-step chunks with
+    ``jax.random.split(rng, 25)`` sliced across the calls executes the
+    exact same per-step computation as one ``plan_segment`` call — which is
+    what lets the host overlap snapshot synthesis with the device still
+    planning the later chunks (api.plan_resynth overlap mode).
+    """
+    return _segment_scan(
+        params_dynamic, models_static, xx, opt_state, xx_init, target_mel,
+        target_semvec, rngs, objective=objective,
+        use_speech_classifier=use_speech_classifier,
+        use_somatosensory=use_somatosensory, log_semantics=log_semantics,
+        constraints=constraints, lr=lr, log_every=log_every)
 
 
 def init_opt_state(xx, lr):

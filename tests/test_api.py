@@ -188,6 +188,43 @@ def test_sync_and_async_synthesis_agree(target):
                                rtol=1e-6)
 
 
+def test_plan_overlap_exact(target):
+    """plan_overlap=True (chunked scan dispatch, synthesis overlapped with
+    device planning) is numerically EXACT vs the single-scan path: the
+    chunks consume slices of the same per-step key array and anchor
+    constraints to the same iteration-start trajectory."""
+    kw = dict(target_acoustic=target, objective="acoustic_semvec",
+              initialize_from="acoustic", continue_learning=True,
+              n_outer=2, n_inner=6, log_ii=2, n_batches=1, batch_size=2,
+              n_epochs=1, verbose=False)
+    p1 = Paule(seed=11, plan_overlap=False)
+    r1 = p1.plan_resynth(**kw)
+    p2 = Paule(seed=11, plan_overlap=True)
+    r2 = p2.plan_resynth(**kw)
+    np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)
+    np.testing.assert_array_equal(r1.planned_loss_steps,
+                                  r2.planned_loss_steps)
+    np.testing.assert_array_equal(r1.prod_loss_steps, r2.prod_loss_steps)
+    np.testing.assert_array_equal(r1.pred_model_loss, r2.pred_model_loss)
+
+
+def test_plan_overlap_exact_with_remainder(target):
+    """Chunk boundaries stay log_ii-aligned and the unlogged remainder
+    (n_inner % log_ii) lands in the final chunk, exactly like the
+    single-scan slicing."""
+    kw = dict(target_acoustic=target, objective="acoustic",
+              continue_learning=False, n_outer=1, n_inner=7, log_ii=2,
+              verbose=False)
+    p1 = Paule(seed=12, plan_overlap=False)
+    r1 = p1.plan_resynth(**kw)
+    p2 = Paule(seed=12, plan_overlap=True)
+    r2 = p2.plan_resynth(**kw)
+    assert len(r2.planned_loss_steps) == 3  # 7 // 2
+    np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)
+    np.testing.assert_array_equal(r1.planned_loss_steps,
+                                  r2.planned_loss_steps)
+
+
 def test_plan_iterative(paule_model, target):
     sig, sr = target
     planned_cp, results = paule_model.plan_iterative(
