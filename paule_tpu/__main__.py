@@ -165,6 +165,16 @@ def cmd_seg2wav(args):
     print(f"wrote {path} ({len(sig) / sr:.2f} s)")
 
 
+def cmd_speaker_import(args):
+    from .synth import speaker_import
+
+    voiceless = [v for v in (args.voiceless or "").split(",") if v]
+    speaker_import.import_speaker(
+        args.src, args.out, name=args.name,
+        base_length_cm=args.base_length, voiceless=voiceless)
+    print(f"wrote {args.out}")
+
+
 def build_parser():
     parser = argparse.ArgumentParser(
         prog="python -m paule_tpu",
@@ -209,6 +219,19 @@ def build_parser():
     p.add_argument("--seg", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_seg2wav)
+
+    p = sub.add_parser(
+        "speaker-import",
+        help="convert a VocalTractLab XML speaker (e.g. JD3.speaker) to "
+             "the paule_tpu INI speaker format")
+    p.add_argument("src", help="VTL XML .speaker file")
+    p.add_argument("-o", "--out", required=True, help="output INI path")
+    p.add_argument("--name", default=None, help="speaker name")
+    p.add_argument("--base-length", type=float, default=None,
+                   help="override the estimated tract length (cm)")
+    p.add_argument("--voiceless", default=None,
+                   help="comma-separated shape names to emit voiced=0")
+    p.set_defaults(fn=cmd_speaker_import)
     return parser
 
 

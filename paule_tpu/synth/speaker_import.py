@@ -1,0 +1,238 @@
+"""Import a VocalTractLab XML speaker into the paule_tpu INI format.
+
+The upstream reference ships exactly one speaker — the 1871-line JD3 XML
+(``/root/reference/paule/vocaltractlab_api/JD3.speaker``) consumed by the
+closed VTL binary.  paule_tpu's synthesizer uses a much smaller INI speaker
+format (``synth/speaker/default.speaker``; parsed at
+``synth/csrc/model.cpp`` ``Speaker::load``) whose anatomy is three scalars
+plus per-parameter ranges and phone targets.  This module closes the gap
+between the two honestly: it reads the parts of a VTL speaker that map onto
+our anatomy model and emits a loadable INI speaker —
+
+* the 19 vocal-tract control parameters (name / min / max / neutral) — an
+  exact copy of the XML ``<anatomy>`` ``<param>`` table;
+* the 11 glottis control parameters of the *selected* glottis model — an
+  exact copy of its ``<control_params>`` table;
+* ``fold_length_cm`` from the glottis model's rest-length static param
+  (``RL`` neutral), ``nasal_length_cm`` from ``<nasal_cavity length=>``;
+* ``base_length_cm`` from a documented two-leg bent-tube estimate (below);
+* every vocal-tract ``<shape>`` as a phone target: the shape's 19 tract
+  values plus glottis values from the glottis model's ``modal`` shape
+  (falling back to the control-param neutrals).
+
+What is NOT imported — and cannot be, by design — is the spline-level
+geometry (palate/jaw contours, tongue radii, velum curves): our tract
+model is a functional 19-param -> area-function map, not VTL's 3D mesh, so
+those splines have no slot.  The import preserves the *control semantics*
+(identical parameter ranges and phone targets produce comparable
+articulatory trajectories); ``docs/speakers.md`` documents how to calibrate
+the remaining anatomy scalars against target formants.
+
+Tract length estimate: VTL's midline runs from the glottis up the pharynx
+(vertical leg) and bends at the velum to run along the palate to the lips
+(horizontal leg).  We estimate
+
+    horizontal = max palate x  - pharynx fulcrum x
+    vertical   = pharynx fulcrum y - (hyoid-rest y - larynx depth)
+
+where hyoid-rest y is the neutral of the ``HY`` param and larynx depth is
+the vertical extent of the ``<larynx>`` ``narrow`` outline.  For JD3 this
+gives ~16.2 cm, consistent with the adult male ~16-17 cm the VTL
+literature quotes for this speaker.
+
+CLI: ``python -m paule_tpu speaker-import JD3.speaker -o jd3.speaker``.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+#: tau heuristic per shape class (matches the builtin phone table's
+#: conventions, model.cpp builtin_default)
+_TAU_BY_CLASS = {"closure": 0.010, "fricative": 0.012, "lateral": 0.014}
+_TAU_VOWEL = 0.018
+
+
+def parse_vtl_speaker(path):
+    """Parse a VTL XML speaker file into a plain dict.
+
+    Returns keys: ``tract_params`` / ``glottis_params`` (lists of
+    ``(index, name, min, max, neutral)``), ``glottis_static`` (name ->
+    neutral), ``glottis_shapes`` / ``tract_shapes`` (name -> {param:
+    value}), ``anatomy`` (scalars used by the importer), ``glottis_model``
+    (the selected model's type string).
+    """
+    root = ET.parse(str(path)).getroot()
+    vt = root.find("vocal_tract_model")
+    if vt is None:
+        raise ValueError(f"{path}: not a VTL speaker file "
+                         "(no <vocal_tract_model>)")
+    anatomy = vt.find("anatomy")
+
+    def param_rows(parent):
+        rows = []
+        for p in parent.findall("param"):
+            rows.append((int(p.get("index")), p.get("name"),
+                         float(p.get("min")), float(p.get("max")),
+                         float(p.get("neutral"))))
+        rows.sort()
+        return rows
+
+    tract_params = param_rows(anatomy)
+
+    tract_shapes = {}
+    shapes = vt.find("shapes")
+    if shapes is not None:
+        for sh in shapes.findall("shape"):
+            tract_shapes[sh.get("name")] = {
+                p.get("name"): float(p.get("value"))
+                for p in sh.findall("param")}
+
+    # the selected glottis model (selected="1"; first model otherwise)
+    gms = root.find("glottis_models")
+    if gms is None:
+        raise ValueError(f"{path}: no <glottis_models>")
+    models = gms.findall("glottis_model")
+    selected = next((m for m in models if m.get("selected") == "1"),
+                    models[0])
+    glottis_params = param_rows(selected.find("control_params"))
+    glottis_static = {p.get("name"): float(p.get("neutral"))
+                      for p in selected.find("static_params")
+                      .findall("param")}
+    glottis_shapes = {}
+    gshapes = selected.find("shapes")
+    if gshapes is not None:
+        for sh in gshapes.findall("shape"):
+            glottis_shapes[sh.get("name")] = {
+                p.get("name"): float(p.get("value"))
+                for p in sh.findall("control_param")}
+
+    # anatomy scalars for the tract-length estimate
+    scal = {}
+    nasal = anatomy.find("nasal_cavity")
+    if nasal is not None:
+        scal["nasal_length_cm"] = float(nasal.get("length"))
+    palate = anatomy.find("palate")
+    if palate is not None:
+        xs = [float(p.get("x")) for p in palate if p.get("x") is not None]
+        if xs:
+            scal["palate_x_max"] = max(xs)
+    pharynx = anatomy.find("pharynx")
+    if pharynx is not None:
+        scal["pharynx_fulcrum_x"] = float(pharynx.get("fulcrum_x"))
+        scal["pharynx_fulcrum_y"] = float(pharynx.get("fulcrum_y"))
+    larynx = anatomy.find("larynx")
+    if larynx is not None:
+        narrow = larynx.find("narrow")
+        if narrow is not None and narrow.get("points"):
+            vals = [float(v) for v in narrow.get("points").split()]
+            ys = vals[1::2]
+            if ys:
+                scal["larynx_depth"] = -min(ys)
+
+    return {
+        "name": selected.get("type", "vtl-import"),
+        "tract_params": tract_params,
+        "glottis_params": glottis_params,
+        "glottis_static": glottis_static,
+        "glottis_shapes": glottis_shapes,
+        "tract_shapes": tract_shapes,
+        "anatomy": scal,
+        "glottis_model": selected.get("type", ""),
+    }
+
+
+def estimate_base_length_cm(parsed):
+    """Two-leg bent-tube tract-length estimate (see module docstring).
+
+    Returns ``None`` when the XML lacks the needed anatomy elements.
+    """
+    a = parsed["anatomy"]
+    hy = next((r for r in parsed["tract_params"] if r[1] == "HY"), None)
+    need = ("palate_x_max", "pharynx_fulcrum_x", "pharynx_fulcrum_y",
+            "larynx_depth")
+    if hy is None or any(k not in a for k in need):
+        return None
+    horizontal = a["palate_x_max"] - a["pharynx_fulcrum_x"]
+    vertical = a["pharynx_fulcrum_y"] - (hy[4] - a["larynx_depth"])
+    return round(horizontal + vertical, 2)
+
+
+def _phone_tau(name):
+    for cls, tau in _TAU_BY_CLASS.items():
+        if cls in name:
+            return tau
+    return _TAU_VOWEL
+
+
+def to_ini(parsed, *, name=None, base_length_cm=None, voiceless=()):
+    """Render a parsed VTL speaker as paule_tpu INI speaker text.
+
+    ``voiceless`` names phones to emit with voiced=0 (VTL keeps voicing in
+    gestural scores, not shapes, so the default is voiced=1 with the
+    glottis model's ``modal`` shape; voiceless phones get the
+    ``voiceless-fricative`` glottis shape when the model defines one).
+    """
+    tract = parsed["tract_params"]
+    glottis = parsed["glottis_params"]
+    if len(tract) != 19:
+        raise ValueError(f"expected 19 tract params, got {len(tract)}")
+    if len(glottis) != 11:
+        raise ValueError(f"expected 11 glottis params, got {len(glottis)}")
+
+    if base_length_cm is None:
+        base_length_cm = estimate_base_length_cm(parsed)
+    fold = parsed["glottis_static"].get("RL")
+    nasal = parsed["anatomy"].get("nasal_length_cm")
+
+    gnames = [r[1] for r in glottis]
+    gneutral = {r[1]: r[4] for r in glottis}
+    modal = dict(gneutral)
+    modal.update(parsed["glottis_shapes"].get(
+        "modal", parsed["glottis_shapes"].get("default", {})))
+    unvoiced = dict(gneutral)
+    unvoiced.update(parsed["glottis_shapes"].get(
+        "voiceless-fricative", parsed["glottis_shapes"].get("open", {})))
+
+    lines = ["# imported from a VocalTractLab XML speaker by "
+             "paule_tpu.synth.speaker_import", "",
+             "[meta]", f"name = {name or 'vtl-import'}", "", "[anatomy]"]
+    if base_length_cm is not None:
+        lines.append(f"base_length_cm = {base_length_cm}")
+    if fold is not None:
+        lines.append(f"fold_length_cm = {fold}")
+    if nasal is not None:
+        lines.append(f"nasal_length_cm = {nasal}")
+
+    lines += ["", "[tract_params]"]
+    for idx, pname, mn, mx, ne in tract:
+        lines.append(f"{idx} {pname} {mn} {mx} {ne}")
+    lines += ["", "[glottis_params]"]
+    for idx, pname, mn, mx, ne in glottis:
+        lines.append(f"{idx} {pname} {mn} {mx} {ne}")
+
+    lines += ["", "[phones]"]
+    voiceless = set(voiceless)
+    for shname, shvals in parsed["tract_shapes"].items():
+        # INI rows are whitespace-tokenized (model.cpp Speaker::load):
+        # spaces inside a shape name would shift every following column
+        safe = shname.replace(" ", "_")
+        voiced = 0 if shname in voiceless else 1
+        gsrc = unvoiced if shname in voiceless else modal
+        tvals = [shvals.get(pname, ne)
+                 for _, pname, _, _, ne in tract]
+        gvals = [gsrc.get(g, gneutral[g]) for g in gnames]
+        row = " ".join(f"{v:.6g}" for v in (tvals + gvals))
+        lines.append(f"{safe} {voiced} {_phone_tau(shname)} {row}")
+    return "\n".join(lines) + "\n"
+
+
+def import_speaker(src, dst, *, name=None, base_length_cm=None,
+                   voiceless=()):
+    """Convert a VTL XML speaker file to a paule_tpu INI speaker file."""
+    parsed = parse_vtl_speaker(src)
+    text = to_ini(parsed, name=name, base_length_cm=base_length_cm,
+                  voiceless=voiceless)
+    with open(str(dst), "w") as fh:
+        fh.write(text)
+    return dst

@@ -1,0 +1,125 @@
+"""VTL XML speaker import (synth/speaker_import.py).
+
+The upstream reference ships its speaker as the JD3 XML consumed by the
+closed VTL binary (/root/reference/paule/vocaltractlab_api/JD3.speaker);
+these tests import that actual file into our INI format and verify the
+result loads into the synthesizer with JD3's parameter semantics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from paule_tpu import synth
+from paule_tpu.synth import speaker_import
+
+JD3 = "/root/reference/paule/vocaltractlab_api/JD3.speaker"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(JD3), reason="reference JD3.speaker not available")
+
+
+@pytest.fixture(scope="module")
+def parsed():
+    return speaker_import.parse_vtl_speaker(JD3)
+
+
+def test_parse_param_tables(parsed):
+    names = [r[1] for r in parsed["tract_params"]]
+    assert names == ["HX", "HY", "JX", "JA", "LP", "LD", "VS", "VO",
+                     "TCX", "TCY", "TTX", "TTY", "TBX", "TBY", "TRX",
+                     "TRY", "TS1", "TS2", "TS3"]
+    gnames = [r[1] for r in parsed["glottis_params"]]
+    assert gnames == ["F0", "PR", "XB", "XT", "CA", "PL", "RA", "DP",
+                      "PS", "FL", "AS"]
+    # spot-check exact XML values (JD3.speaker:45-46,1527)
+    hx = parsed["tract_params"][0]
+    assert hx[2:] == (0.0, 1.0, 1.0)
+    f0 = parsed["glottis_params"][0]
+    assert f0[2:] == (40.0, 600.0, 120.0)
+    assert parsed["glottis_model"] == "Geometric glottis"
+
+
+def test_parse_shapes_and_anatomy(parsed):
+    assert len(parsed["tract_shapes"]) >= 60  # 68 tract shapes in JD3
+    assert "a" in parsed["tract_shapes"]
+    assert parsed["tract_shapes"]["a"]["TCX"] == pytest.approx(0.1524)
+    assert "modal" in parsed["glottis_shapes"]
+    assert parsed["anatomy"]["nasal_length_cm"] == pytest.approx(11.4)
+    assert parsed["glottis_static"]["RL"] == pytest.approx(1.6)
+
+
+def test_base_length_estimate(parsed):
+    # JD3 is the adult male ~16-17 cm speaker
+    est = speaker_import.estimate_base_length_cm(parsed)
+    assert 15.0 <= est <= 17.5
+
+
+def test_ini_loads_with_jd3_semantics(tmp_path, parsed):
+    out = tmp_path / "jd3.speaker"
+    speaker_import.import_speaker(JD3, out, name="jd3")
+    synth.initialize(str(out))
+    try:
+        info = synth.get_param_info("tract")
+        assert info["names"] == [r[1] for r in parsed["tract_params"]]
+        np.testing.assert_allclose(
+            info["mins"], [r[2] for r in parsed["tract_params"]])
+        np.testing.assert_allclose(
+            info["maxs"], [r[3] for r in parsed["tract_params"]])
+        np.testing.assert_allclose(
+            info["neutrals"], [r[4] for r in parsed["tract_params"]])
+        ginfo = synth.get_param_info("glottis")
+        assert ginfo["names"] == [r[1] for r in parsed["glottis_params"]]
+        np.testing.assert_allclose(
+            ginfo["neutrals"], [r[4] for r in parsed["glottis_params"]])
+
+        # the imported speaker actually phonates
+        neutral = np.concatenate([info["neutrals"], ginfo["neutrals"]])
+        cp = np.tile(neutral, (41, 1))
+        sig, sr = synth.speak(cp)
+        assert sr == 44100 and len(sig) == 40 * 110
+        assert np.isfinite(sig).all()
+        assert np.abs(sig).max() > 1e-5
+    finally:
+        synth.initialize()  # restore the default speaker
+
+
+def test_phone_targets_from_shapes(tmp_path, parsed):
+    out = tmp_path / "jd3.speaker"
+    speaker_import.import_speaker(JD3, out, voiceless=["voiceless-demo"])
+    text = out.read_text()
+    assert "[phones]" in text
+    # the /a/ row carries JD3's own shape values in param-table order
+    a_row = next(line for line in text.splitlines()
+                 if line.startswith("a "))
+    vals = a_row.split()
+    assert vals[1] == "1"  # voiced by default
+    tract_vals = [float(v) for v in vals[3:22]]
+    expected = [parsed["tract_shapes"]["a"].get(r[1], r[4])
+                for r in parsed["tract_params"]]
+    np.testing.assert_allclose(tract_vals, expected, rtol=1e-5)
+    # glottis columns come from the modal glottis shape
+    gvals = [float(v) for v in vals[22:33]]
+    gneutral = {r[1]: r[4] for r in parsed["glottis_params"]}
+    modal = dict(gneutral)
+    modal.update(parsed["glottis_shapes"]["modal"])
+    np.testing.assert_allclose(
+        gvals, [modal[r[1]] for r in parsed["glottis_params"]], rtol=1e-5)
+
+
+def test_imported_phones_drive_seg_to_cps(tmp_path):
+    out = tmp_path / "jd3.speaker"
+    speaker_import.import_speaker(JD3, out)
+    synth.initialize(str(out))
+    try:
+        seg = tmp_path / "demo.seg"
+        seg.write_text("name = a; duration_s = 0.20;\n"
+                       "name = i; duration_s = 0.20;\n")
+        cps = synth.seg_to_cps(str(seg))
+        assert cps.shape[1] == 30
+        assert np.isfinite(cps).all()
+        sig, sr = synth.speak(cps)
+        assert np.abs(sig).max() > 1e-5
+    finally:
+        synth.initialize()
