@@ -82,9 +82,13 @@ def main():
         print(f"B={batch}: fwd rel err {fwd_err:.2e}, "
               f"grad rel err {grad_err:.2e} -> {'OK' if ok else 'FAIL'}")
 
-        # ---- timing (median over repeats, after warmup) ----
+        # ---- timing ----
+        # per-call (incl. the ~20 ms tunnel sync — the latency a single
+        # blocking call pays) and amortized (N async dispatches, ONE final
+        # block — the true device time when calls pipeline, as they do
+        # inside the planning loop)
         def t_med(fn, *a):
-            fn(*a)[0] if isinstance(fn(*a), tuple) else fn(*a)  # warm
+            jax.block_until_ready(fn(*a))  # warm
             ts = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
@@ -92,14 +96,29 @@ def main():
                 ts.append(time.perf_counter() - t0)
             return statistics.median(ts)
 
+        def t_amort(fn, *a, n=20):
+            jax.block_until_ready(fn(*a))  # warm
+            t0 = time.perf_counter()
+            outs = [fn(*a) for _ in range(n)]
+            jax.block_until_ready(outs)
+            return (time.perf_counter() - t0) / n
+
         t_fs = t_med(f_scan, params, x)
         t_fp = t_med(f_pal, params, x)
         t_gs = t_med(g_scan, params, x)
         t_gp = t_med(g_pal, params, x)
+        a_fs = t_amort(f_scan, params, x)
+        a_fp = t_amort(f_pal, params, x)
+        a_gs = t_amort(g_scan, params, x)
+        a_gp = t_amort(g_pal, params, x)
         print(f"B={batch}: fwd scan {1e3 * t_fs:.2f} ms vs pallas "
               f"{1e3 * t_fp:.2f} ms ({t_fs / t_fp:.2f}x); fwd+bwd "
               f"{1e3 * t_gs:.2f} vs {1e3 * t_gp:.2f} ms "
               f"({t_gs / t_gp:.2f}x)")
+        print(f"B={batch} amortized: fwd {1e3 * a_fs:.2f} vs "
+              f"{1e3 * a_fp:.2f} ms ({a_fs / a_fp:.2f}x); fwd+bwd "
+              f"{1e3 * a_gs:.2f} vs {1e3 * a_gp:.2f} ms "
+              f"({a_gs / a_gp:.2f}x)")
         results["cases"][f"B{batch}"] = {
             "numerics_ok": bool(ok),
             "fwd_rel_err": fwd_err, "grad_rel_err": grad_err,
@@ -109,6 +128,16 @@ def main():
             "fwdbwd_scan_ms": round(1e3 * t_gs, 3),
             "fwdbwd_pallas_ms": round(1e3 * t_gp, 3),
             "fwdbwd_speedup": round(t_gs / t_gp, 2),
+            "amortized": {
+                "fwd_scan_ms": round(1e3 * a_fs, 3),
+                "fwd_pallas_ms": round(1e3 * a_fp, 3),
+                "fwd_speedup": round(a_fs / a_fp, 2),
+                "fwdbwd_scan_ms": round(1e3 * a_gs, 3),
+                "fwdbwd_pallas_ms": round(1e3 * a_gp, 3),
+                "fwdbwd_speedup": round(a_gs / a_gp, 2),
+                "note": "20 async dispatches, one final block — device "
+                        "time with the ~20 ms tunnel sync amortized away",
+            },
         }
 
     all_ok = all(c["numerics_ok"] for c in results["cases"].values())
