@@ -44,8 +44,16 @@ INTERPRET = os.environ.get("PAULE_TPU_PALLAS", "") == "interpret"
 
 def _pick_chunk(seq_len, batch, hidden, *, budget_bytes=6 * 1024 * 1024):
     """Time-chunk size so the streamed blocks (double-buffered) fit VMEM
-    alongside the resident W_hh."""
+    alongside the resident W_hh.
+
+    The kernel's scoped-VMEM *stack* also holds W_hh (H x 4H f32 — 8.3 MB
+    at H=720) and the loop-body gate temporaries, which scale with the
+    batch: at B=25/H=720 a chunk of 7 overflowed the 16 MiB scoped limit
+    by ~1 MB (Mosaic stack OOM at compile time), so batches beyond one
+    8-sublane tile get half the streaming budget."""
     per_step = batch * hidden * 4 * (4 + 1 + 1)  # gates + hs + cs, f32
+    if batch > 8:
+        budget_bytes //= 2
     chunk = max(1, budget_bytes // (2 * per_step))
     chunk = min(chunk, seq_len, 128)
     return int(chunk)

@@ -52,8 +52,12 @@ def main():
         assert not lstm_mod.pallas_enabled()
         return lstm_mod.lstm_layer(params, x)
 
-    for batch in (1, 8):
-        T, H, IN = 402, 720, 30
+    # (B=1/8, T=402, IN=30): the planning forward-model shapes;
+    # (B=25, T=203, IN=60): the metrics embedder over one outer iteration's
+    # 25 logged snapshots — the shape that OOMed scoped VMEM before
+    # _pick_chunk accounted for the batch-scaled kernel stack
+    for batch, T, IN in ((1, 402, 30), (8, 402, 30), (25, 203, 60)):
+        H = 720
         kp, kx = jax.random.split(jax.random.fold_in(rng, batch))
         params = lstm_layer_params(kp, IN, H, jnp.float32)
         x = jax.random.normal(kx, (batch, T, IN), jnp.float32)
