@@ -72,3 +72,56 @@ def test_reference_models_construct(ref_pkg):
     with torch.no_grad():
         out = m(torch.zeros(1, 8, 30, dtype=torch.float64))
     assert out.shape == (1, 4, 60)
+
+
+def test_reference_plan_resynth_micro(ref_pkg):
+    """bench.py's baseline leg end to end at a micro budget: the reference's
+    ACTUAL plan_resynth (/root/reference/paule/paule.py:391) with our C++
+    synthesizer injected as its plant (the exact monkeypatch bench.py
+    applies), tiny models, 1 outer x 2 inner, continue-learning on."""
+    import torch
+
+    import paule.models as M
+    import paule.paule as P
+
+    from paule_tpu import synth
+    from paule_tpu.ops.normalize import inv_normalize_cp
+
+    synth.initialize()
+
+    def speak_ours(cp_denorm):
+        return synth.speak(np.asarray(cp_denorm, dtype=np.float64))
+
+    torch.manual_seed(0)
+    fwd = M.ForwardModel(num_lstm_layers=1, hidden_size=32).double()
+    emb = M.EmbeddingModel(num_lstm_layers=1, hidden_size=32).double()
+    inv = M.InverseModelMelTimeSmoothResidual(
+        num_lstm_layers=1, hidden_size=32).double()
+    cp_gen = M.Generator().double()
+    mel_gen = M.Generator(output_size=60).double()
+
+    old_speak = P.speak
+    P.speak = speak_ours
+    try:
+        model = P.Paule(pred_model=fwd, inv_model=inv, embedder=emb,
+                        cp_gen_model=cp_gen, mel_gen_model=mel_gen,
+                        device=torch.device("cpu"))
+        rng = np.random.default_rng(0)
+        cp_true = np.clip(
+            rng.normal(0, 0.05, (41, 30)).cumsum(0) * 0.2, -1, 1)
+        sig, sr = speak_ours(inv_normalize_cp(cp_true))
+        from paule_tpu.dsp.mel import librosa_melspec
+
+        n_mel = np.asarray(librosa_melspec(sig, sr)).shape[0]
+        r = model.plan_resynth(
+            target_acoustic=(sig, float(sr)), objective="acoustic_semvec",
+            initial_cp=np.zeros((2 * n_mel, 30)), initialize_from=None,
+            log_ii=1,
+            log_semantics=True, n_outer=1, n_inner=2, n_batches=1,
+            batch_size=2, n_epochs=1, continue_learning=True,
+            verbose=False, plot=False)
+        assert np.asarray(r.planned_cp).shape == (2 * n_mel, 30)
+        assert np.isfinite(float(r.prod_loss_steps[-1]))
+        assert len(r.prod_loss_steps) == 2
+    finally:
+        P.speak = old_speak

@@ -10,7 +10,8 @@ single-shot comparison on one long utterance.  Artifacts:
 * ``docs/measurements/corpus_r03.json`` — summary statistics
 
 Run (real TPU, ~20-40 min): PYTHONPATH=. python tools/corpus_quality_run.py
-Tunables: CORPUS_N (default 50), CORPUS_OUTER/INNER (default 4/10).
+Tunables: CORPUS_N (default 50), CORPUS_OUTER/INNER (default 10/25 — the
+reference's default planning budget).
 """
 
 import json
@@ -21,8 +22,8 @@ import time
 import numpy as np
 
 N_UTT = int(os.environ.get("CORPUS_N", "50"))
-N_OUTER = int(os.environ.get("CORPUS_OUTER", "4"))
-N_INNER = int(os.environ.get("CORPUS_INNER", "10"))
+N_OUTER = int(os.environ.get("CORPUS_OUTER", "10"))
+N_INNER = int(os.environ.get("CORPUS_INNER", "25"))
 BABBLE_N = int(os.environ.get("CORPUS_BABBLE", "120"))
 BABBLE_EPOCHS = int(os.environ.get("CORPUS_BABBLE_EPOCHS", "12"))
 OUT_DIR = "docs/measurements"
@@ -57,6 +58,13 @@ def main():
     model.pred_params = params
     model.pred_trainer.params = params
     log(f"forward train loss: {losses[0]:.4f} -> {losses[-1]:.4f}")
+    log(f"training inverse proxy ({BABBLE_EPOCHS} epochs)...")
+    inv_params, inv_losses = pretrain.train_inverse(
+        model.inv_model, model.inv_params, corpus_train,
+        batch_size=8, n_epochs=BABBLE_EPOCHS)
+    model.inv_params = inv_params
+    model.inv_trainer.params = inv_params
+    log(f"inverse train loss: {inv_losses[0]:.4f} -> {inv_losses[-1]:.4f}")
 
     # ---- 2. the evaluation corpus: 50+ utterances, 4 length buckets ----
     rng = np.random.default_rng(42)
@@ -70,10 +78,34 @@ def main():
         true_cps.append(cp)
     log(f"corpus ready: {N_UTT} utterances, lengths {LENGTHS}")
 
+    # true pre-planning loss: synthesize the inverse-model init trajectory
+    # (what _prepare_batch starts planning from) and measure produced loss
+    def prod_loss_of(planned_cp, target):
+        # the planner's loss space: target mel min-shifted to 0 (the
+        # reference's convention, /root/reference/paule/paule.py:526 —
+        # mirrored at api.py and dsp/targets.py), produced mel unshifted
+        tmel = np.asarray(normalize_mel(librosa_melspec(*target)))
+        tmel = tmel - tmel.min()
+        psig, psr = synth.speak(inv_normalize_cp(np.asarray(planned_cp)))
+        pmel = np.asarray(normalize_mel(librosa_melspec(psig, psr)))
+        n = min(len(tmel), len(pmel))
+        return 5.0 * float(np.sqrt(np.mean((pmel[:n] - tmel[:n]) ** 2)))
+
+    log("measuring inverse-init (pre-planning) produced losses...")
+    init_losses = []
+    for target in targets:
+        tmel = np.asarray(normalize_mel(librosa_melspec(*target)))
+        cp0 = np.clip(np.asarray(model._j_inv(
+            model.inv_trainer.params, tmel[None].astype(model.dtype)))[0],
+            -1.0, 1.0)
+        init_losses.append(prod_loss_of(cp0, target))
+    init_losses = np.array(init_losses)
+    log(f"inverse-init median produced loss {np.median(init_losses):.3f}")
+
     # ---- 3. batched corpus planning ----
     plan_kwargs = dict(objective="acoustic", n_outer=N_OUTER,
                        n_inner=N_INNER, continue_learning=True,
-                       batch_size=8, n_epochs=2)
+                       batch_size=8, n_epochs=5)
     t0 = time.perf_counter()
     results = plan_corpus_batched(model, targets, max_batch=8,
                                   plan_kwargs=plan_kwargs, verbose=True)
@@ -81,19 +113,21 @@ def main():
 
     final = np.array([float(r["prod_loss_curve"][-1]) for r in results])
     first = np.array([float(r["prod_loss_curve"][0]) for r in results])
-    improved = float(np.mean(final < first))
+    improved = float(np.mean(final < init_losses))
     log(f"corpus planned in {t_corpus:.0f} s; "
         f"median final loss {np.median(final):.3f} "
-        f"(initial {np.median(first):.3f}); {improved:.0%} improved")
+        f"(pre-planning {np.median(init_losses):.3f}); "
+        f"{improved:.0%} better than their inverse-init")
 
     # results_loss.txt (reference notebook format)
     os.makedirs(OUT_DIR, exist_ok=True)
     txt = os.path.join(OUT_DIR, "results_loss_r03.txt")
     with open(txt, "w") as fh:
-        fh.write("file\tlabel\tprod_loss\tprod_loss_initial\n")
+        fh.write("file\tlabel\tprod_loss\tprod_loss_outer1"
+                 "\tprod_loss_preplan\n")
         for i, r in enumerate(results):
             fh.write(f"utt{i:03d}\tbabble\t{final[i]:.6f}\t"
-                     f"{first[i]:.6f}\n")
+                     f"{first[i]:.6f}\t{init_losses[i]:.6f}\n")
 
     # ---- 4. plan_iterative vs single-shot on one long utterance ----
     n_long = 400
@@ -101,24 +135,16 @@ def main():
     long_target = pool.speak(inv_normalize_cp(cp_long))
     pool.close()
 
-    def produced_loss(planned_cp):
-        tmel = np.asarray(normalize_mel(librosa_melspec(*long_target)))
-        tmel = tmel - tmel.min()
-        psig, psr = synth.speak(inv_normalize_cp(np.asarray(planned_cp)))
-        pmel = np.asarray(normalize_mel(librosa_melspec(psig, psr)))
-        n = min(len(tmel), len(pmel))
-        return 5.0 * float(np.sqrt(np.mean((pmel[:n] - tmel[:n]) ** 2)))
-
     budget = dict(objective="acoustic", n_outer=N_OUTER, n_inner=N_INNER,
                   log_ii=N_INNER, continue_learning=False, verbose=False)
     log("single-shot long utterance...")
     r_single = model.plan_resynth(target_acoustic=long_target,
                                   initialize_from="acoustic", **budget)
-    loss_single = produced_loss(r_single.planned_cp)
+    loss_single = prod_loss_of(r_single.planned_cp, long_target)
     log("chunked long utterance (chunk 64 mel frames, overlap 8)...")
     planned_chunked, _ = model.plan_iterative(
         target_acoustic=long_target, chunk_size=64, overlap=8, **budget)
-    loss_chunked = produced_loss(planned_chunked)
+    loss_chunked = prod_loss_of(planned_chunked, long_target)
     log(f"single-shot {loss_single:.3f} vs chunked {loss_chunked:.3f}")
 
     summary = {
@@ -126,7 +152,9 @@ def main():
         "budget": plan_kwargs,
         "babble": {"n": BABBLE_N, "epochs": BABBLE_EPOCHS,
                    "train_loss_first": round(float(losses[0]), 4),
-                   "train_loss_last": round(float(losses[-1]), 4)},
+                   "train_loss_last": round(float(losses[-1]), 4),
+                   "inv_loss_first": round(float(inv_losses[0]), 4),
+                   "inv_loss_last": round(float(inv_losses[-1]), 4)},
         "corpus_wall_s": round(t_corpus, 1),
         "final_prod_loss": {
             "median": round(float(np.median(final)), 4),
@@ -134,8 +162,9 @@ def main():
             "p10": round(float(np.percentile(final, 10)), 4),
             "p90": round(float(np.percentile(final, 90)), 4),
         },
-        "initial_prod_loss_median": round(float(np.median(first)), 4),
-        "fraction_improved": improved,
+        "outer1_prod_loss_median": round(float(np.median(first)), 4),
+        "preplan_prod_loss_median": round(float(np.median(init_losses)), 4),
+        "fraction_better_than_preplan": improved,
         "long_utterance": {
             "cp_frames": 2 * (1 + n_long * 110 // 220),
             "single_shot_loss": round(loss_single, 4),
