@@ -133,10 +133,18 @@ def bench_reference(target, models, init_cp, n_outer, *, plant="ours"):
         def speak_ours(cp_denorm):
             return synth.speak(np.asarray(cp_denorm, dtype=np.float64))
 
+        # patch BOTH namespaces the reference can resolve `speak` through:
+        # paule.paule imports it as a module global (paule.py:43), and
+        # other helpers call it via paule.util
         P.speak = speak_ours
-        U_speak = speak_ours
+        if not hasattr(U, "_vtl_speak"):
+            U._vtl_speak = U.speak
+        U.speak = speak_ours
     else:
-        P.speak = U.speak  # restore (a prior "ours" run may have patched it)
+        # restore (a prior "ours" run may have patched both)
+        if hasattr(U, "_vtl_speak"):
+            U.speak = U._vtl_speak
+        P.speak = U.speak
 
     model = P.Paule(pred_model=fwd, inv_model=inv, embedder=emb,
                     cp_gen_model=cp_gen, mel_gen_model=mel_gen,
@@ -220,13 +228,17 @@ def main():
               "copy-synthesis target)...")
         import paule.util as U
 
-        vtl_target = U.speak(U.inv_normalize_cp(cp_true))
+        vtl_speak = getattr(U, "_vtl_speak", U.speak)  # the real VTL plant
+        vtl_target = vtl_speak(U.inv_normalize_cp(cp_true))
         vtl_target = (vtl_target[0], float(vtl_target[1]))
         n_mel_v = np.asarray(normalize_mel(
             librosa_melspec(*vtl_target))).shape[0]
+        # fresh seeded models: the 'ours'-plant leg above trained its
+        # models in place (continue-learning), so reusing them would start
+        # this leg from mutated weights
         t_vtl, loss_vtl = bench_reference(
-            vtl_target, models, np.zeros((2 * n_mel_v, 30)), PARITY_OUTER,
-            plant="vtl")
+            vtl_target, make_reference_models(),
+            np.zeros((2 * n_mel_v, 30)), PARITY_OUTER, plant="vtl")
         vtl_extra = {
             "t_measured_s": round(t_vtl, 3),
             "final_prod_loss": round(loss_vtl, 4),

@@ -28,11 +28,12 @@ ADULT_F0_HZ = 120.0
 def first_formant_hz(n_points=2048):
     """First peak of the neutral-tract transfer function, in Hz."""
     info = synth.get_param_info("tract")
-    neutral = np.asarray([p["neutral"] for p in info])
+    neutral = np.asarray(info["neutrals"])
     mag, _phase = synth.get_transfer_function(neutral, n_points=n_points)
     mag = np.asarray(mag)
-    # peak pick above 150 Hz (skip the DC shoulder)
-    freqs = np.arange(n_points) * (44100.0 / 2048.0 / 2.0)  # bin -> Hz
+    # peak pick above 150 Hz (skip the DC shoulder); n_points bins span
+    # the Nyquist band
+    freqs = np.arange(n_points) * (44100.0 / n_points / 2.0)  # bin -> Hz
     lo = np.searchsorted(freqs, 150.0)
     seg = mag[lo:]
     peaks = [i for i in range(1, len(seg) - 1)

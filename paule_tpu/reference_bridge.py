@@ -32,12 +32,9 @@ import types
 
 import numpy as np
 
-SR = 44100
-N_FFT = 1024
-HOP = 220
-N_MELS = 60
-FMIN = 10.0
-FMAX = 12000.0
+# the one source of truth for the mel front-end contract — the shim MUST
+# compute on exactly the pipeline the golden tests pin
+from .dsp.mel import FMAX, FMIN, HOP, N_FFT, N_MELS, SR
 
 
 def _make_librosa_module():
@@ -115,16 +112,30 @@ def _make_soundfile_module():
     return sf
 
 
+def _missing(name):
+    """True when ``name`` is neither imported nor installed — only then may
+    the shim register (never shadow a real installation, even one not yet
+    imported)."""
+    import importlib.util
+
+    if name in sys.modules:
+        return False
+    try:
+        return importlib.util.find_spec(name) is None
+    except (ImportError, ValueError):
+        return True
+
+
 def install_shims():
     """Register librosa/soundfile shims in ``sys.modules`` (idempotent;
-    refuses to shadow a real installation)."""
-    if "librosa" not in sys.modules:
+    refuses to shadow a real installation, imported or not)."""
+    if _missing("librosa"):
         librosa, feature, inverse, display = _make_librosa_module()
         sys.modules["librosa"] = librosa
         sys.modules["librosa.feature"] = feature
         sys.modules["librosa.feature.inverse"] = inverse
         sys.modules["librosa.display"] = display
-    if "soundfile" not in sys.modules:
+    if _missing("soundfile"):
         sys.modules["soundfile"] = _make_soundfile_module()
     if "toml" not in sys.modules:
         # the reference's __init__ reads its version from pyproject.toml via

@@ -272,6 +272,18 @@ def make_server(service, host="127.0.0.1", port=8750):
                     self._send(413, {
                         "error": f"request body {n} bytes exceeds the "
                                  f"{service.MAX_REQUEST_BYTES}-byte limit"})
+                    # drain the unread body so closing the socket doesn't
+                    # RST a client that is still mid-upload (which would
+                    # discard the 413 bytes before the client reads them);
+                    # absolute cap so a hostile Content-Length can't hold
+                    # the worker forever
+                    self.wfile.flush()
+                    remaining = min(n, 1 << 28)
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
                     return
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/synthesize":

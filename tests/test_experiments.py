@@ -124,18 +124,30 @@ def test_plan_corpus_batched_pad_to_multiple():
         cp = np.clip(rng.normal(0, 0.1, (n_cp, 30)).cumsum(0) * 0.1, -1, 1)
         targets.append(synth.speak(inv_normalize_cp(cp)))
 
-    compiled_lengths = []
-    results = plan_corpus_batched(
-        p, targets, max_batch=4, verbose=False, pad_to_multiple=16,
-        on_result=lambda i, r: compiled_lengths.append(i),
-        plan_kwargs=dict(n_outer=1, n_inner=2, objective="acoustic",
-                         continue_learning=False))
-    assert len(results) == 4
+    # count actual plan_batch_resynth invocations: merging is THE claim
+    from paule_tpu.parallel import batched as _batched
+    bucket_sizes = []
+    real_pbr = _batched.plan_batch_resynth
+
+    def counting_pbr(model, targets, *args, **kwargs):
+        bucket_sizes.append(len(targets))
+        return real_pbr(model, targets, *args, **kwargs)
+
+    results = None
+    try:
+        _batched.plan_batch_resynth = counting_pbr
+        results = plan_corpus_batched(
+            p, targets, max_batch=4, verbose=False, pad_to_multiple=16,
+            plan_kwargs=dict(n_outer=1, n_inner=2, objective="acoustic",
+                             continue_learning=False))
+    finally:
+        _batched.plan_batch_resynth = real_pbr
+    assert results is not None and len(results) == 4
     for i, n_cp in enumerate(lengths):
         assert results[i]["planned_cp"].shape == (n_cp, 30)
         assert results[i]["prod_sig"].shape == ((n_cp - 1) * 110,)
         assert results[i]["prod_mel"].shape[0] == n_cp // 2
         assert np.isfinite(results[i]["prod_loss_curve"]).all()
     # 22,26,30,32 cp frames = 11,13,15,16 mel frames -> all pad to 16: ONE
-    # bucket of 4 instead of 4 buckets of 1
-    assert len(compiled_lengths) == 4
+    # bucket of 4 (one compile) instead of 4 buckets of 1
+    assert bucket_sizes == [4]

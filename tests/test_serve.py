@@ -242,6 +242,29 @@ def test_oversized_request_413(stack):
         service.MAX_REQUEST_BYTES = old
 
 
+def test_oversized_request_413_large_body(stack):
+    """A body far past socket-buffer size still yields a readable 413.
+
+    The handler must drain the unread upload before the socket closes —
+    otherwise the close RSTs the still-writing client and the 413 bytes
+    are discarded (client sees ConnectionResetError, not the JSON error).
+    """
+    url, service = stack
+    old = service.MAX_REQUEST_BYTES
+    service.MAX_REQUEST_BYTES = 1 << 16  # 64 KB limit
+    try:
+        body = b'{"mel": "' + b"A" * (8 << 20) + b'"}'  # 8 MB upload
+        req = urllib.request.Request(
+            url + "/embed", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 413
+        assert "limit" in json.loads(err.value.read())["error"]
+    finally:
+        service.MAX_REQUEST_BYTES = old
+
+
 def test_plan_queue_full_429(stack):
     url, service = stack
     old = service.PLAN_QUEUE_LIMIT
