@@ -68,8 +68,12 @@ def build(force=False, verbose=False):
     cmd = [
         "g++", "-std=c++17", "-O3", "-fPIC", "-shared",
         # -fno-math-errno lets sqrt inline to the hardware instruction (the
-        # per-sample loop carries several sqrts)
-        "-fno-math-errno",
+        # per-sample loop carries several sqrts); -fno-trapping-math lets
+        # floor/float<->int casts vectorize (gcc refuses to emit vroundpd
+        # in SIMD loops while FP-exception semantics must be preserved) —
+        # results stay IEEE, only trap delivery is given up, and the
+        # synthesis loops already run under FTZ
+        "-fno-math-errno", "-fno-trapping-math",
         "-Wall", "-Wextra",
         *(os.path.join(CSRC, s) for s in SOURCES),
         "-o", LIB_PATH,

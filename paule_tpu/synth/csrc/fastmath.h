@@ -46,6 +46,47 @@ inline double fast_exp(double x) {
   return fast_exp2(x * 1.4426950408889634);
 }
 
+// 2^x without the overflow/underflow edge handling: valid for
+// x in (-1022, 1023).  Branch-free and bit-cast based (no union memory
+// round-trip), so a loop over an array of inputs auto-vectorizes (the
+// clamped fast_exp2 above carries two branches).
+inline double fast_exp2_nc(double x) {
+  double xi = std::floor(x);
+  double f = x - xi;  // [0, 1)
+  double p =
+      1.0000000025868891 +
+      f * (0.693146928693029 +
+           f * (0.24023050204499768 +
+                f * (0.05548042632577707 +
+                     f * (0.009684580452328492 +
+                          f * (0.0012387821478955943 +
+                               f * 0.00021877504770057688)))));
+  double scale = __builtin_bit_cast(
+      double, (uint64_t)((int64_t)xi + 1023) << 52);
+  return scale * p;
+}
+
+// log2(x) for finite normal x > 0 — bit-cast variant of fast_log2 that
+// auto-vectorizes (identical arithmetic).
+inline double fast_log2_bc(double x) {
+  uint64_t u = __builtin_bit_cast(uint64_t, x);
+  int64_t e = (int64_t)(u >> 52) - 1023;
+  double m = __builtin_bit_cast(
+      double, (u & 0x000fffffffffffffULL) | 0x3ff0000000000000ULL);
+  double t = m - 1.0;  // [0, 1)
+  double p =
+      4.8863580334963816e-08 +
+      t * (1.4426867778259658 +
+           t * (-0.7211146144034014 +
+                t * (0.4783235448678622 +
+                     t * (-0.34599601243364225 +
+                          t * (0.23923166297286413 +
+                               t * (-0.13453425419894569 +
+                                    t * (0.05027750737057517 +
+                                         t * -0.008874696651227329)))))));
+  return (double)e + p;
+}
+
 // log2(x) for finite normal x > 0.
 inline double fast_log2(double x) {
   union {
@@ -91,6 +132,15 @@ inline double fast_cospi_half(double v) {
 inline double fast_sinpi_sq(double p) {
   double s = fast_cospi_half(p - 0.5);
   return s * s;
+}
+
+// tanh(x) for x >= 0 via the [3/2] Pade approximant, which reaches exactly
+// 1.0 at x = 3 and is clamped there (abs error < 5e-3 — used only to
+// saturate a noise level estimate, far below audibility).
+inline double fast_tanh_pos(double x) {
+  if (x >= 3.0) return 1.0;
+  double x2 = x * x;
+  return x * (27.0 + x2) / (27.0 + 9.0 * x2);
 }
 
 }  // namespace pts

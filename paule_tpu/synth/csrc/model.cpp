@@ -531,52 +531,122 @@ double GlottisState::step(double* area_out) {
   return u + asp * 40.0;
 }
 
+void GlottisState::step_block(int n, double* out) {
+  if (n != kControlBlock) {
+    // partial tail block: the scalar path (identical math)
+    for (int i = 0; i < n; ++i) out[i] = step(nullptr);
+    return;
+  }
+  constexpr int B = kControlBlock;
+
+  // scalar prologue: phase accumulator, pulse parity, noise sequence (all
+  // cheap recurrences that can't vectorize)
+  alignas(64) double ph[B], par[B], nz[B];
+  for (int i = 0; i < B; ++i) {
+    phase += f0_eff_ / kInternalSampleRate;
+    if (phase >= 1.0) {
+      phase -= 1.0;
+      pulse_index++;
+    }
+    ph[i] = phase;
+    par[i] = (double)(pulse_index & 1u);
+    nz[i] = white(&noise_state);
+  }
+
+  // SIMD loop (fixed trip count = one AVX-512 iteration): the oscillator
+  // chain, branch-free.  osc(p) = sin^2(pi * min(p^skew, 1)) with p
+  // floored at 5e-4 — p^skew is then >= ~8e-9 (skew <= ~2.6),
+  // osc < 1e-15: acoustically identical to the scalar path's exact 0 at
+  // p = 0, but exp2 never reaches its underflow branch so the whole chain
+  // if-converts.
+  const double skew = skew_, lag = lag_phase_;
+  alignas(64) double uu[B], gg[B];
+  for (int i = 0; i < B; ++i) {
+    double pb = ph[i];
+    double pt = pb - lag;
+    pt -= std::floor(pt);
+    pb = std::max(pb, 5e-4);
+    pt = std::max(pt, 5e-4);
+    double eb = fast_exp2_nc(skew * fast_log2_bc(pb));
+    double et = fast_exp2_nc(skew * fast_log2_bc(pt));
+    double osc_b = fast_sinpi_sq(std::min(eb, 1.0));
+    double osc_t = fast_sinpi_sq(std::min(et, 1.0));
+    double a = amp_ * (1.0 - 0.5 * dp_ * par[i]);
+    double x_b = xb_ + a * (osc_b - 0.3);
+    double x_t = xt_ + a * (osc_t - 0.3);
+    double a_fold = fold2_ * std::max(0.0, std::min(x_b, x_t));
+    double a_g = a_fold + chink_;
+    double u = a_g * u_coeff_;
+    uu[i] = u;
+    gg[i] = std::sqrt(std::max(u, 0.0) * (a_g + 0.01));
+  }
+
+  // scalar epilogue: the aspiration lowpass is a genuine recurrence
+  for (int i = 0; i < B; ++i) {
+    asp_lp += 0.25 * (nz[i] - asp_lp);
+    out[i] = uu[i] + asp_lp * asp_gain13_ * gg[i] * 40.0;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // waveguide
 // ---------------------------------------------------------------------------
 
 void Waveguide::reset() {
-  fwd_.fill(0.0);
-  bwd_.fill(0.0);
-  nfwd_.fill(0.0);
-  nbwd_.fill(0.0);
+  for (int s = 0; s < 2; ++s) {
+    fbuf_[s].fill(0.0);
+    bbuf_[s].fill(0.0);
+    nfbuf_[s].fill(0.0);
+    nbbuf_[s].fill(0.0);
+  }
+  cur_ = 0;
   lip_lp_ = lip_out_prev_ = radiated_prev_ = nose_lp_ = fric_lp_ = 0.0;
   nasal_cooldown_ = 0;
 }
 
-void Waveguide::set_tube(const Tube& tube) {
-  constexpr int kM = kTubeSections;
-  constexpr double kAreaFloor = 1e-4;
-  constexpr double kFlowScale = 4.0e-4;  // flow (cm^3/s) -> wave amplitude
-  constexpr double kC = 35000.0;         // speed of sound, cm/s
+namespace {
 
-  // Each lattice section delays one sample, i.e. spans c/fs cm of tract.
-  // Quantizing the geometric tube length to an effective section count
-  // makes the length parameters (and speaker anatomy) acoustically real:
-  // a shorter tract uses fewer sections and all formants rise.
-  double total_cm = 0.0;
-  for (int i = 0; i < kM; ++i) total_cm += tube.length_cm[i];
+constexpr double kAreaFloor = 1e-4;
+constexpr double kFlowScale = 4.0e-4;  // flow (cm^3/s) -> wave amplitude
+constexpr double kC = 35000.0;         // speed of sound, cm/s
+
+// Each lattice section delays one sample, i.e. spans c/fs cm of tract.
+// Quantizing the geometric tube length to an effective section count
+// makes the length parameters (and speaker anatomy) acoustically real:
+// a shorter tract uses fewer sections and all formants rise.
+int quantize_sections(double total_cm) {
   constexpr double cm_per_section = kC / kInternalSampleRate;
   int M = (int)std::lround(total_cm / cm_per_section);
   if (M < 8) M = 8;
-  if (M > kM) M = kM;
-  if (M < M_) {
-    // effective tract shortened: clear the dropped sections' state so it
-    // cannot resurface if M grows again later
-    for (int i = M; i < M_; ++i) fwd_[i] = bwd_[i] = 0.0;
-  }
-  M_ = M;
+  if (M > kTubeSections) M = kTubeSections;
+  return M;
+}
 
-  // resample the 40 geometric sections onto the M acoustic sections
+// resample the 40 geometric sections onto the M acoustic sections (no
+// area floor here — callers apply it after any temporal interpolation)
+void resample_areas(const double* area40, int M, double* out) {
+  constexpr int kM = kTubeSections;
   for (int j = 0; j < M; ++j) {
     double pos = (j + 0.5) / M * kM - 0.5;
     int i0 = (int)std::floor(pos);
     double t = pos - i0;
     int ia = std::max(0, std::min(kM - 1, i0));
     int ib = std::max(0, std::min(kM - 1, i0 + 1));
-    double a = (1.0 - t) * tube.area_cm2[ia] + t * tube.area_cm2[ib];
-    A_[j] = std::max(a, kAreaFloor);
+    out[j] = (1.0 - t) * area40[ia] + t * area40[ib];
   }
+}
+
+}  // namespace
+
+// derive all per-block coefficients from A_[0..M) + the nasal port
+void Waveguide::commit_(int M, double a_port) {
+  if (M < M_) {
+    // effective tract shortened: clear the dropped sections' state (both
+    // ping-pong buffers) so it cannot resurface if M grows again later
+    for (int i = M; i < M_; ++i)
+      fbuf_[0][i] = fbuf_[1][i] = bbuf_[0][i] = bbuf_[1][i] = 0.0;
+  }
+  M_ = M;
 
   // interior scattering coefficients (the per-junction divide lives here,
   // at control rate, not in the per-sample loop)
@@ -588,7 +658,7 @@ void Waveguide::set_tube(const Tube& tube) {
   // reflects less and radiates more)
   lip_refl_ = -(0.95 - 0.10 * std::sqrt(A_[M - 1]));
 
-  a_port_ = tube.velum_opening_cm2;
+  a_port_ = a_port;
   iv_ = (int)(0.48 * M);  // velar junction index
   // three-port junction scale (division hoisted out of the sample loop)
   port_scale_ = 2.0 / (A_[iv_] + A_[iv_ + 1] + a_port_);
@@ -616,15 +686,58 @@ void Waveguide::set_tube(const Tube& tube) {
   fric_amp_ = (amin < 0.4) ? (0.4 - amin) / 0.4 : 0.0;
 }
 
+void Waveguide::set_tube(const Tube& tube) {
+  double total_cm = 0.0;
+  for (int i = 0; i < kTubeSections; ++i) total_cm += tube.length_cm[i];
+  int M = quantize_sections(total_cm);
+  resample_areas(tube.area_cm2.data(), M, A_);
+  for (int j = 0; j < M; ++j) A_[j] = std::max(A_[j], kAreaFloor);
+  commit_(M, tube.velum_opening_cm2);
+}
+
+void Waveguide::set_ramp(const Tube& t0, const Tube& t1) {
+  total0_ = total1_ = 0.0;
+  for (int i = 0; i < kTubeSections; ++i) {
+    e0_area_[i] = t0.area_cm2[i];
+    e1_area_[i] = t1.area_cm2[i];
+    total0_ += t0.length_cm[i];
+    total1_ += t1.length_cm[i];
+  }
+  velum0_ = t0.velum_opening_cm2;
+  velum1_ = t1.velum_opening_cm2;
+  ramp_M_ = -1;
+}
+
+void Waveguide::blend(double a) {
+  int M = quantize_sections(lerp(total0_, total1_, a));
+  if (M != ramp_M_) {
+    // the quantized grid moved (at most once or twice along a ramp):
+    // re-resample both endpoints onto it
+    resample_areas(e0_area_, M, rA0_);
+    resample_areas(e1_area_, M, rA1_);
+    ramp_M_ = M;
+  }
+  for (int j = 0; j < M; ++j)
+    A_[j] = std::max(lerp(rA0_[j], rA1_[j], a), kAreaFloor);
+  commit_(M, lerp(velum0_, velum1_, a));
+}
+
 double Waveguide::step(double glottal_flow) {
-  constexpr int kM = kTubeSections;
   constexpr double kDamp = 0.996;
   constexpr double kGlottisRefl = 0.96;
   const int M = M_;
 
-  // every entry in [0, M) is written below (source/lip ends + interior
-  // junctions); sections beyond M are cleared by set_tube on M changes
-  double newf[kM], newb[kM];
+  // ping-pong: read the current buffers, write every entry in [0, M) of
+  // the alternate ones (source/lip ends + interior junctions), then flip;
+  // sections beyond M are cleared by commit_ on M changes
+  const double* __restrict fwd_ = fbuf_[cur_].data();
+  const double* __restrict bwd_ = bbuf_[cur_].data();
+  double* __restrict newf = fbuf_[cur_ ^ 1].data();
+  double* __restrict newb = bbuf_[cur_ ^ 1].data();
+  double* __restrict nfwd_ = nfbuf_[cur_].data();
+  double* __restrict nbwd_ = nbbuf_[cur_].data();
+  double* __restrict nf = nfbuf_[cur_ ^ 1].data();
+  double* __restrict nb = nbbuf_[cur_ ^ 1].data();
 
   // source at the glottal end (pressure wave from glottal volume velocity)
   double src = glottal_flow * src_scale_;
@@ -670,7 +783,6 @@ double Waveguide::step(double glottal_flow) {
   if (nasal_on) nasal_cooldown_ = 3000;
   if (nasal_on || nasal_cooldown_ > 0) {
     constexpr int NN = kNasalSections;
-    double nf[NN], nb[NN];
     nf[0] = nasal_on ? nfwd_[0] : nbwd_[0] * kDamp;
     double nose_in = nfwd_[NN - 1] * kDamp;
     nose_lp_ += 0.45 * (nose_in - nose_lp_);
@@ -683,11 +795,11 @@ double Waveguide::step(double glottal_flow) {
       nf[i + 1] = (1.0 + k) * fi - k * bi1;
       nb[i] = k * fi + (1.0 - k) * bi1;
     }
-    std::memcpy(nfwd_.data(), nf, sizeof(nf));
-    std::memcpy(nbwd_.data(), nb, sizeof(nb));
     if (!nasal_on && --nasal_cooldown_ == 0) {
-      nfwd_.fill(0.0);
-      nbwd_.fill(0.0);
+      nfbuf_[0].fill(0.0);
+      nfbuf_[1].fill(0.0);
+      nbbuf_[0].fill(0.0);
+      nbbuf_[1].fill(0.0);
       nose_lp_ = 0.0;
     }
   }
@@ -702,12 +814,11 @@ double Waveguide::step(double glottal_flow) {
     double band = n - fric_lp_;  // highpassed noise
     int inj = std::min(im + 1, M - 1);
     // saturating level estimate: no positive feedback loop possible
-    double level = std::tanh(3.0 * std::abs(u_c));
+    double level = fast_tanh_pos(3.0 * std::abs(u_c));
     newf[inj] += band * fric_amp_ * level * 0.25;
   }
 
-  std::memcpy(fwd_.data(), newf, sizeof(double) * M);
-  std::memcpy(bwd_.data(), newb, sizeof(double) * M);
+  cur_ ^= 1;  // the freshly written buffers become current
 
   // radiation: differentiate, add nasal output, DC-block
   double pressure = lip_out + 0.8 * nose_out;
@@ -746,27 +857,21 @@ void Synthesizer::synth_ramp(const double* tract0, const double* glottis0,
   std::memcpy(ramp_cache_tract_.data(), tract1, sizeof(ramp_cache_tract_));
   ramp_cache_tube_ = t1;
   ramp_cache_valid_ = true;
-  Tube t = t0;
+  wg_.set_ramp(t0, t1);
   double gp[kGlottisParams];
-  for (int s = 0; s < n; ++s) {
-    if (s % kControlBlock == 0) {
-      // control-rate commit: interpolate the tube/glottis params and derive
-      // the expensive coefficients once per block (the params move slowly —
-      // one cp frame spans 110 samples)
-      double a = (n <= 1) ? 1.0 : (double)(s + 1) / n;
-      for (int i = 0; i < kTubeSections; ++i) {
-        t.area_cm2[i] = lerp(t0.area_cm2[i], t1.area_cm2[i], a);
-        t.length_cm[i] = lerp(t0.length_cm[i], t1.length_cm[i], a);
-      }
-      t.velum_opening_cm2 =
-          lerp(t0.velum_opening_cm2, t1.velum_opening_cm2, a);
-      for (int i = 0; i < kGlottisParams; ++i)
-        gp[i] = lerp(glottis0[i], glottis1[i], a);
-      wg_.set_tube(t);
-      glottis_state_.prepare(speaker_, gp);
-    }
-    double flow = glottis_state_.step(nullptr);
-    audio[s] = wg_.step(flow);
+  double flows[kControlBlock];
+  for (int s = 0; s < n; s += kControlBlock) {
+    // control-rate commit: interpolate the tube/glottis params and derive
+    // the expensive coefficients once per block (the params move slowly —
+    // one cp frame spans 110 samples)
+    double a = (n <= 1) ? 1.0 : (double)(s + 1) / n;
+    wg_.blend(a);
+    for (int i = 0; i < kGlottisParams; ++i)
+      gp[i] = lerp(glottis0[i], glottis1[i], a);
+    glottis_state_.prepare(speaker_, gp);
+    int bn = std::min(kControlBlock, n - s);
+    glottis_state_.step_block(bn, flows);
+    for (int i = 0; i < bn; ++i) audio[s + i] = wg_.step(flows[i]);
   }
 }
 
@@ -812,24 +917,18 @@ int Synthesizer::add_tube(int n_samples, double* audio,
     has_tube_state_ = true;
     return 0;
   }
-  Tube t = cur_tube_;
+  wg_.set_ramp(cur_tube_, target);
   double gp[kGlottisParams];
-  for (int s = 0; s < n_samples; ++s) {
-    if (s % kControlBlock == 0) {
-      double a = (double)(s + 1) / n_samples;
-      for (int i = 0; i < kTubeSections; ++i) {
-        t.area_cm2[i] = lerp(cur_tube_.area_cm2[i], target.area_cm2[i], a);
-        t.length_cm[i] = lerp(cur_tube_.length_cm[i], target.length_cm[i], a);
-      }
-      t.velum_opening_cm2 = lerp(cur_tube_.velum_opening_cm2,
-                                 target.velum_opening_cm2, a);
-      for (int i = 0; i < kGlottisParams; ++i)
-        gp[i] = lerp(cur_glottis_[i], glottis[i], a);
-      wg_.set_tube(t);
-      glottis_state_.prepare(speaker_, gp);
-    }
-    double flow = glottis_state_.step(nullptr);
-    audio[s] = wg_.step(flow);
+  double flows[kControlBlock];
+  for (int s = 0; s < n_samples; s += kControlBlock) {
+    double a = (double)(s + 1) / n_samples;
+    wg_.blend(a);
+    for (int i = 0; i < kGlottisParams; ++i)
+      gp[i] = lerp(cur_glottis_[i], glottis[i], a);
+    glottis_state_.prepare(speaker_, gp);
+    int bn = std::min(kControlBlock, n_samples - s);
+    glottis_state_.step_block(bn, flows);
+    for (int i = 0; i < bn; ++i) audio[s + i] = wg_.step(flows[i]);
   }
   cur_tube_ = target;
   std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));

@@ -120,6 +120,13 @@ struct GlottisState {
   // audio-rate: advance one sample; returns glottal volume velocity
   // (arbitrary consistent units)
   double step(double* area_out);
+  // audio-rate, batched: advance n (<= kControlBlock) samples into out.
+  // Same per-sample math as step() restructured into branch-free array
+  // loops so the oscillator chain (pow, sin^2) vectorizes; the only
+  // intentional deviation is an inaudible phase floor (osc(p<5e-4) ~ 1e-10
+  // instead of reaching exactly 0), which keeps the pow chain in the
+  // no-underflow domain.
+  void step_block(int n, double* out);
   // convenience: prepare + one sample (analysis paths)
   double step(const Speaker& spk, const double* glottis, double* area_out) {
     prepare(spk, glottis);
@@ -140,6 +147,15 @@ class Waveguide {
   // control-rate: commit the tube geometry (section count, areas,
   // scattering coefficients, lip reflection, nasal port, frication site)
   void set_tube(const Tube& tube);
+  // ramped control-rate path: install the two endpoint tubes of a ramp
+  // segment once, then commit interpolated geometry per control block with
+  // blend(a).  Equivalent to set_tube(lerp(t0, t1, a)) but hoists the
+  // endpoint bookkeeping (length totals, spatial resampling grid) out of
+  // the per-block work: blend() is O(M) lerps + the unavoidable
+  // scattering divisions, with the 40->M resample recomputed only when
+  // the quantized section count M actually changes along the ramp.
+  void set_ramp(const Tube& t0, const Tube& t1);
+  void blend(double a);
   // audio-rate: one output sample from the glottal flow
   double step(double glottal_flow);
   // convenience: set_tube + one sample (analysis paths)
@@ -149,9 +165,13 @@ class Waveguide {
   }
 
  private:
-  std::array<double, kTubeSections> fwd_{}, bwd_{};
+  // ping-pong wave buffers: step() reads [cur_] and writes [cur_ ^ 1]
+  // then flips, instead of staging into stack arrays and memcpy-ing back
+  // (two 320-byte copies per audio sample)
   static constexpr int kNasalSections = 14;
-  std::array<double, kNasalSections> nfwd_{}, nbwd_{};
+  std::array<std::array<double, kTubeSections>, 2> fbuf_{}, bbuf_{};
+  std::array<std::array<double, kNasalSections>, 2> nfbuf_{}, nbbuf_{};
+  int cur_ = 0;
   double lip_lp_ = 0.0, lip_out_prev_ = 0.0, radiated_prev_ = 0.0;
   double nose_lp_ = 0.0;
   double fric_lp_ = 0.0;
@@ -169,6 +189,14 @@ class Waveguide {
   double fric_amp_ = 0.0;  // 0 when no narrow constriction
   bool nasal_k_ready_ = false;
   int nasal_cooldown_ = 0;  // samples of residual-decay after port closure
+  // ramp endpoint cache (set_ramp/blend)
+  double e0_area_[kTubeSections] = {0}, e1_area_[kTubeSections] = {0};
+  double rA0_[kTubeSections] = {0}, rA1_[kTubeSections] = {0};
+  double total0_ = 0.0, total1_ = 0.0, velum0_ = 0.0, velum1_ = 0.0;
+  int ramp_M_ = -1;  // grid the rA* arrays are resampled on (-1 = stale)
+  // shared by set_tube and blend: commit coefficients from A_[0..M) +
+  // the nasal port opening
+  void commit_(int M, double a_port);
 };
 
 // full synthesizer instance: owns speaker, interpolation state and engine
