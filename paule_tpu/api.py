@@ -53,6 +53,30 @@ def _to_np(x):
     return np.asarray(x, dtype=np.float64)
 
 
+class _DeferredMetrics:
+    """Device-resident metrics whose host transfer is already in flight.
+
+    Wraps the batched produced-audio metrics output dict: the constructor
+    starts a non-blocking ``copy_to_host_async`` for every leaf, and
+    :meth:`host` materializes (and caches) the numpy dict — so dispatching
+    continue-learning between the two overlaps the metrics device compute
+    AND the device->host transfer with the training programs."""
+
+    def __init__(self, out):
+        self._out = out
+        self._host = None
+        for leaf in jax.tree.leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # backend without async host copies
+                break
+
+    def host(self):
+        if self._host is None:
+            self._host = jax.device_get(self._out)
+        return self._host
+
+
 class Paule:
     """Keeps the state of the predictive/inverse/embedder models (and the
     optional speech-classifier or somatosensory models), the continue-
@@ -113,6 +137,10 @@ class Paule:
         #: direct-attached TPU hosts or when host synthesis dominates
         #: (somatosensory tube extraction, long utterances).
         self.plan_overlap = plan_overlap
+        #: defer the produced-metrics host fetch past the continue-
+        #: learning dispatch (hides the fetch behind training compute);
+        #: attribute toggle for A/B measurement
+        self.defer_metrics_fetch = True
         self._overlap_chunks = (plan_overlap if isinstance(plan_overlap, int)
                                 and not isinstance(plan_overlap, bool)
                                 else 2)
@@ -450,14 +478,21 @@ class Paule:
 
     def _prod_metrics(self, sigs, snaps_dev, prod_tubes, target_mel_dev,
                       target_semvec_dev, want_semvec, sig_devs=None,
-                      return_device=False):
+                      return_device=False, deferred=False):
         """Run the batched produced-audio metrics; returns host numpy.
 
         ``sig_devs`` (optional): per-signal device arrays whose uploads were
         already started during synthesis; stacking them on device skips the
         blocking bulk transfer here.  With ``return_device=True`` also
         returns the device-resident ``{"prod_mel", "prod_tube"}`` arrays so
-        continue-learning can train on them without re-uploading."""
+        continue-learning can train on them without re-uploading.
+
+        With ``deferred=True`` the host transfer is only STARTED
+        (``copy_to_host_async``) and a :class:`_DeferredMetrics` handle is
+        returned in place of the host dict — the caller can dispatch more
+        device work (continue-learning) before materializing, so the
+        metrics fetch rides behind the training compute instead of
+        blocking between the two programs."""
         params = {"embedder": self.embedder_params}
         if self.use_speech_classifier:
             params["speech_classifier"] = self.speech_classifier_params
@@ -484,7 +519,10 @@ class Paule:
         out = self._j_prod_metrics(params, sigs_dev, snaps_dev, tubes_dev,
                                    target_mel_dev, target_semvec_dev,
                                    want_semvec=want_semvec)
-        host = jax.device_get(out)
+        if deferred:
+            host = _DeferredMetrics(out)
+        else:
+            host = jax.device_get(out)
         if return_device:
             dev = {"prod_mel": out["prod_mel"],
                    "prod_tube": (tubes_dev if prod_tubes is not None
@@ -989,148 +1027,163 @@ class Paule:
             timings["synthesis"] += time.perf_counter() - _t0
             _t0 = time.perf_counter()
 
-            # ---- produced-audio metrics: one batched program + one fetch --
-            pm, pm_dev = self._prod_metrics(sigs, snaps_dev, prod_tubes,
+            # ---- produced-audio metrics: one batched program, DEFERRED
+            # host fetch -- the device->host copy is started
+            # asynchronously and continue-learning dispatches right
+            # behind the metrics program on the device stream, so the
+            # fetch hides inside the training compute.  verbose keeps
+            # the blocking order (produced losses print before the
+            # training output, like the reference).
+            dm, pm_dev = self._prod_metrics(sigs, snaps_dev, prod_tubes,
                                             target_mel_dev, target_semvec_dev,
                                             want_semvec, sig_devs=sig_devs,
-                                            return_device=True)
-            prod_mels_np = np.asarray(pm["prod_mel"], dtype=np.float64)
-            prod_mel = prod_mels_np[-1]
-            pred_mel_last = pred_mels[-1]
-            seg_logs_ii["prod_mel"].extend(list(prod_mels_np))
-            if self.use_somatosensory_feedback:
-                seg_logs_ii["prod_tube"].extend(list(prod_tubes))
-                seg_logs_ii["pred_tube"].extend(
-                    list(np.asarray(pm["pred_tube"], dtype=np.float64)))
-                seg_logs_ii["prod_tube_mel"].extend(
-                    list(np.asarray(pm["prod_tube_mel"], dtype=np.float64)))
-                seg_logs_ii["pred_tube_mel"].extend(
-                    list(np.asarray(pm["pred_tube_mel"], dtype=np.float64)))
+                                            return_device=True, deferred=True)
 
-            for s in range(n_segments):
-                snapshot = snapshots[s]
-                prod_loss = float(pm["prod_loss"][s])
-                logs["prod_loss_steps"].append(prod_loss)
-
-                if self.use_speech_classifier:
-                    sc_loss = float(pm["prod_sc_loss"][s])
-                    logs["prod_speech_classifier_loss_steps"].append(sc_loss)
-                    if verbose:
-                        print("Produced Speech Classifier Loss: ", sc_loss)
-
-                tube_metrics = {}
+            def finish_metrics():
+                nonlocal prod_mel, pred_mel_last
+                pm = dm.host()
+                prod_mels_np = np.asarray(pm["prod_mel"], dtype=np.float64)
+                prod_mel = prod_mels_np[-1]
+                pred_mel_last = pred_mels[-1]
+                seg_logs_ii["prod_mel"].extend(list(prod_mels_np))
                 if self.use_somatosensory_feedback:
-                    prod_tube_loss = float(pm["prod_tube_loss"][s])
-                    prod_tube_mel_loss = float(pm["prod_tube_mel_loss"][s])
-                    logs["prod_tube_loss_steps"].append(prod_tube_loss)
-                    logs["prod_tube_mel_loss_steps"].append(prod_tube_mel_loss)
-                    tube_metrics = {
-                        "prod_tube": prod_tubes[s],
-                        "pred_tube": np.asarray(pm["pred_tube"][s],
-                                                dtype=np.float64),
-                        "prod_tube_mel": np.asarray(pm["prod_tube_mel"][s],
-                                                    dtype=np.float64),
-                        "pred_tube_mel": np.asarray(pm["pred_tube_mel"][s],
-                                                    dtype=np.float64),
-                        "prod_tube_loss": prod_tube_loss,
-                        "prod_tube_mel_loss": prod_tube_mel_loss,
-                    }
+                    seg_logs_ii["prod_tube"].extend(list(prod_tubes))
+                    seg_logs_ii["pred_tube"].extend(
+                        list(np.asarray(pm["pred_tube"], dtype=np.float64)))
+                    seg_logs_ii["prod_tube_mel"].extend(
+                        list(np.asarray(pm["prod_tube_mel"], dtype=np.float64)))
+                    seg_logs_ii["pred_tube_mel"].extend(
+                        list(np.asarray(pm["pred_tube_mel"], dtype=np.float64)))
 
-                if verbose:
-                    print("Produced Mel Loss: ", prod_loss)
+                for s in range(n_segments):
+                    snapshot = snapshots[s]
+                    prod_loss = float(pm["prod_loss"][s])
+                    logs["prod_loss_steps"].append(prod_loss)
 
-                if want_semvec:
-                    prod_semvec = np.asarray(pm["prod_semvec"][s],
-                                             dtype=np.float64)
-                    seg_logs_ii["prod_semvec"].append(prod_semvec.copy())
-                    prod_semvec_loss = float(pm["prod_semvec_loss"][s])
-                    logs["prod_semvec_loss_steps"].append(prod_semvec_loss)
+                    if self.use_speech_classifier:
+                        sc_loss = float(pm["prod_sc_loss"][s])
+                        logs["prod_speech_classifier_loss_steps"].append(sc_loss)
+                        if verbose:
+                            print("Produced Speech Classifier Loss: ", sc_loss)
+
+                    tube_metrics = {}
+                    if self.use_somatosensory_feedback:
+                        prod_tube_loss = float(pm["prod_tube_loss"][s])
+                        prod_tube_mel_loss = float(pm["prod_tube_mel_loss"][s])
+                        logs["prod_tube_loss_steps"].append(prod_tube_loss)
+                        logs["prod_tube_mel_loss_steps"].append(prod_tube_mel_loss)
+                        tube_metrics = {
+                            "prod_tube": prod_tubes[s],
+                            "pred_tube": np.asarray(pm["pred_tube"][s],
+                                                    dtype=np.float64),
+                            "prod_tube_mel": np.asarray(pm["prod_tube_mel"][s],
+                                                        dtype=np.float64),
+                            "pred_tube_mel": np.asarray(pm["pred_tube_mel"][s],
+                                                        dtype=np.float64),
+                            "prod_tube_loss": prod_tube_loss,
+                            "prod_tube_mel_loss": prod_tube_mel_loss,
+                        }
+
                     if verbose:
-                        print("Produced Semvec Loss: ", prod_semvec_loss)
+                        print("Produced Mel Loss: ", prod_loss)
 
-                    pred_semvec_np = (seg_logs_ii["pred_semvec"][s]
-                                      if seg_logs_ii["pred_semvec"]
-                                      else initial_pred_semvec)
-                    new_ac = BestSynthesisAcoustic(
-                        prod_loss, snapshot, sigs[s], prod_mels_np[s].copy(),
-                        pred_mels[s].copy())
-                    new_sem = BestSynthesisSemantic(
-                        prod_semvec_loss, snapshot, sigs[s], prod_semvec,
-                        pred_semvec_np)
-                    if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
-                        self.best_synthesis_acoustic = new_ac
-                    if (self.best_synthesis_semantic.semvec_loss
-                            > new_sem.semvec_loss):
-                        self.best_synthesis_semantic = new_sem
+                    if want_semvec:
+                        prod_semvec = np.asarray(pm["prod_semvec"][s],
+                                                 dtype=np.float64)
+                        seg_logs_ii["prod_semvec"].append(prod_semvec.copy())
+                        prod_semvec_loss = float(pm["prod_semvec_loss"][s])
+                        logs["prod_semvec_loss_steps"].append(prod_semvec_loss)
+                        if verbose:
+                            print("Produced Semvec Loss: ", prod_semvec_loss)
 
-                    if self.use_somatosensory_feedback:
-                        prod_tube_semvec = np.asarray(
-                            pm["prod_tube_semvec"][s], dtype=np.float64)
-                        seg_logs_ii["prod_tube_semvec"].append(
-                            prod_tube_semvec.copy())
-                        prod_tube_semvec_loss = float(
-                            pm["prod_tube_semvec_loss"][s])
-                        logs["prod_tube_semvec_loss_steps"].append(
-                            prod_tube_semvec_loss)
-                        new_som = BestSynthesisSomatosensory(
-                            tube_metrics["prod_tube_loss"],
-                            tube_metrics["prod_tube_mel_loss"],
-                            prod_tube_semvec_loss, snapshot, sigs[s],
-                            tube_metrics["prod_tube"],
-                            tube_metrics["pred_tube"],
-                            tube_metrics["prod_tube_mel"],
-                            tube_metrics["pred_tube_mel"],
-                            prod_tube_semvec, None)
-                        if (self.best_synthesis_somatosensory.tube_loss
-                                > new_som.tube_loss):
-                            self.best_synthesis_somatosensory = new_som
-                else:
-                    new_ac = BestSynthesisAcoustic(
-                        prod_loss, snapshot, sigs[s], prod_mels_np[s].copy(),
-                        pred_mels[s].copy())
-                    if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
-                        self.best_synthesis_acoustic = new_ac
-                    if self.use_somatosensory_feedback:
-                        new_som = BestSynthesisSomatosensory(
-                            tube_metrics["prod_tube_loss"],
-                            tube_metrics["prod_tube_mel_loss"], np.inf,
-                            snapshot, sigs[s], tube_metrics["prod_tube"],
-                            tube_metrics["pred_tube"],
-                            tube_metrics["prod_tube_mel"],
-                            tube_metrics["pred_tube_mel"], None, None)
-                        if (self.best_synthesis_somatosensory.tube_loss
-                                > new_som.tube_loss):
-                            self.best_synthesis_somatosensory = new_som
+                        pred_semvec_np = (seg_logs_ii["pred_semvec"][s]
+                                          if seg_logs_ii["pred_semvec"]
+                                          else initial_pred_semvec)
+                        new_ac = BestSynthesisAcoustic(
+                            prod_loss, snapshot, sigs[s], prod_mels_np[s].copy(),
+                            pred_mels[s].copy())
+                        new_sem = BestSynthesisSemantic(
+                            prod_semvec_loss, snapshot, sigs[s], prod_semvec,
+                            pred_semvec_np)
+                        if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
+                            self.best_synthesis_acoustic = new_ac
+                        if (self.best_synthesis_semantic.semvec_loss
+                                > new_sem.semvec_loss):
+                            self.best_synthesis_semantic = new_sem
 
-            if plot and seg_logs_ii["prod_mel"]:
-                from . import visualize
-                target_mel_ii = target_mel[0]
-                if plot is True:
-                    visualize.plot_mels(True, target_mel_ii, initial_pred_mel,
-                                        initial_prod_mel, pred_mel_last,
-                                        seg_logs_ii["prod_mel"][-1])
-                else:
-                    visualize.plot_mels(f"{plot}_{ii_outer:03d}.png",
-                                        target_mel_ii, initial_pred_mel,
-                                        initial_prod_mel, pred_mel_last,
-                                        seg_logs_ii["prod_mel"][-1])
+                        if self.use_somatosensory_feedback:
+                            prod_tube_semvec = np.asarray(
+                                pm["prod_tube_semvec"][s], dtype=np.float64)
+                            seg_logs_ii["prod_tube_semvec"].append(
+                                prod_tube_semvec.copy())
+                            prod_tube_semvec_loss = float(
+                                pm["prod_tube_semvec_loss"][s])
+                            logs["prod_tube_semvec_loss_steps"].append(
+                                prod_tube_semvec_loss)
+                            new_som = BestSynthesisSomatosensory(
+                                tube_metrics["prod_tube_loss"],
+                                tube_metrics["prod_tube_mel_loss"],
+                                prod_tube_semvec_loss, snapshot, sigs[s],
+                                tube_metrics["prod_tube"],
+                                tube_metrics["pred_tube"],
+                                tube_metrics["prod_tube_mel"],
+                                tube_metrics["pred_tube_mel"],
+                                prod_tube_semvec, None)
+                            if (self.best_synthesis_somatosensory.tube_loss
+                                    > new_som.tube_loss):
+                                self.best_synthesis_somatosensory = new_som
+                    else:
+                        new_ac = BestSynthesisAcoustic(
+                            prod_loss, snapshot, sigs[s], prod_mels_np[s].copy(),
+                            pred_mels[s].copy())
+                        if self.best_synthesis_acoustic.mel_loss > new_ac.mel_loss:
+                            self.best_synthesis_acoustic = new_ac
+                        if self.use_somatosensory_feedback:
+                            new_som = BestSynthesisSomatosensory(
+                                tube_metrics["prod_tube_loss"],
+                                tube_metrics["prod_tube_mel_loss"], np.inf,
+                                snapshot, sigs[s], tube_metrics["prod_tube"],
+                                tube_metrics["pred_tube"],
+                                tube_metrics["prod_tube_mel"],
+                                tube_metrics["pred_tube_mel"], None, None)
+                            if (self.best_synthesis_somatosensory.tube_loss
+                                    > new_som.tube_loss):
+                                self.best_synthesis_somatosensory = new_som
 
-            logs["prod_mel_steps"].append(seg_logs_ii["prod_mel"])
-            if log_cps:
-                logs["cp_steps"].append(seg_logs_ii["cp"])
-            logs["pred_mel_steps"].append(seg_logs_ii["pred_mel"])
-            logs["pred_semvec_steps"].append(seg_logs_ii["pred_semvec"])
-            logs["prod_semvec_steps"].append(seg_logs_ii["prod_semvec"])
-            if self.use_somatosensory_feedback:
-                logs["prod_tube_steps"].append(seg_logs_ii["prod_tube"])
-                logs["pred_tube_steps"].append(seg_logs_ii["pred_tube"])
-                logs["prod_tube_mel_steps"].append(seg_logs_ii["prod_tube_mel"])
-                logs["pred_tube_mel_steps"].append(seg_logs_ii["pred_tube_mel"])
-                logs["pred_tube_semvec_steps"].append(
-                    seg_logs_ii["pred_tube_semvec"])
-                logs["prod_tube_semvec_steps"].append(
-                    seg_logs_ii["prod_tube_semvec"])
+                if plot and seg_logs_ii["prod_mel"]:
+                    from . import visualize
+                    target_mel_ii = target_mel[0]
+                    if plot is True:
+                        visualize.plot_mels(True, target_mel_ii, initial_pred_mel,
+                                            initial_prod_mel, pred_mel_last,
+                                            seg_logs_ii["prod_mel"][-1])
+                    else:
+                        visualize.plot_mels(f"{plot}_{ii_outer:03d}.png",
+                                            target_mel_ii, initial_pred_mel,
+                                            initial_prod_mel, pred_mel_last,
+                                            seg_logs_ii["prod_mel"][-1])
 
+                logs["prod_mel_steps"].append(seg_logs_ii["prod_mel"])
+                if log_cps:
+                    logs["cp_steps"].append(seg_logs_ii["cp"])
+                logs["pred_mel_steps"].append(seg_logs_ii["pred_mel"])
+                logs["pred_semvec_steps"].append(seg_logs_ii["pred_semvec"])
+                logs["prod_semvec_steps"].append(seg_logs_ii["prod_semvec"])
+                if self.use_somatosensory_feedback:
+                    logs["prod_tube_steps"].append(seg_logs_ii["prod_tube"])
+                    logs["pred_tube_steps"].append(seg_logs_ii["pred_tube"])
+                    logs["prod_tube_mel_steps"].append(seg_logs_ii["prod_tube_mel"])
+                    logs["pred_tube_mel_steps"].append(seg_logs_ii["pred_tube_mel"])
+                    logs["pred_tube_semvec_steps"].append(
+                        seg_logs_ii["pred_tube_semvec"])
+                    logs["prod_tube_semvec_steps"].append(
+                        seg_logs_ii["prod_tube_semvec"])
+
+
+            defer_fetch = (self.defer_metrics_fetch and continue_learning
+                           and bool(seg_logs_ii["cp"]) and not verbose)
+            if not defer_fetch:
+                finish_metrics()
             timings["metrics"] += time.perf_counter() - _t0
 
             # ---------------- continue learning ----------------
@@ -1149,8 +1202,14 @@ class Paule:
                     add_training_data_pred=add_training_data_pred,
                     add_training_data_inv=add_training_data_inv,
                     n_batches=n_batches, batch_size=batch_size,
-                    n_epochs=n_epochs, dev_train=dev_train)
+                    n_epochs=n_epochs, dev_train=dev_train,
+                    deferred_metrics=dm if defer_fetch else None,
+                    prod_tubes_host=prod_tubes)
                 timings["continue_learning"] += time.perf_counter() - _t0
+            if defer_fetch:
+                _t0 = time.perf_counter()
+                finish_metrics()
+                timings["metrics"] += time.perf_counter() - _t0
 
         # ---------------- Phase F: final results ----------------
         planned_cp = _to_np(xx[0])
@@ -1276,19 +1335,43 @@ class Paule:
     def _continue_learning(self, seg_logs_ii, target_semvec_dev, logs, *,
                            continue_learning_inv, continue_learning_tube,
                            add_training_data_pred, add_training_data_inv,
-                           n_batches, batch_size, n_epochs, dev_train=None):
+                           n_batches, batch_size, n_epochs, dev_train=None,
+                           deferred_metrics=None, prod_tubes_host=None):
         import pandas as pd
 
-        produced = pd.DataFrame(
-            columns=["vector", "cp_norm", "melspec_norm_synthesized",
-                     "tube_norm", "segment_data"])
-        produced["cp_norm"] = seg_logs_ii["cp"]
-        produced["melspec_norm_synthesized"] = seg_logs_ii["prod_mel"]
-        target_semvec_np = _to_np(target_semvec_dev[0])  # fetch once
-        produced["vector"] = [target_semvec_np] * len(produced)
-        produced["segment_data"] = False
-        if self.use_somatosensory_feedback:
-            produced["tube_norm"] = seg_logs_ii["prod_tube"]
+        n_prod = len(seg_logs_ii["cp"])
+        frame_cache = []
+
+        def produced_frame():
+            """The reference's per-outer-iteration produced DataFrame,
+            built lazily.  On the pure device-resident training path it is
+            needed only for the replay-buffer append — and skipped
+            entirely when the buffer would discard it anyway
+            (ReplayBuffer.append on a ``continue_data=None`` buffer).
+            With ``deferred_metrics`` the produced mels come straight from
+            the in-flight metrics fetch (plan_resynth fills
+            ``seg_logs_ii['prod_mel']`` only after training dispatch)."""
+            if frame_cache:
+                return frame_cache[0]
+            prod_mels = seg_logs_ii["prod_mel"]
+            if not prod_mels and deferred_metrics is not None:
+                prod_mels = list(np.asarray(
+                    deferred_metrics.host()["prod_mel"], dtype=np.float64))
+            produced = pd.DataFrame(
+                columns=["vector", "cp_norm", "melspec_norm_synthesized",
+                         "tube_norm", "segment_data"])
+            produced["cp_norm"] = seg_logs_ii["cp"]
+            produced["melspec_norm_synthesized"] = prod_mels
+            target_semvec_np = _to_np(target_semvec_dev[0])  # fetch once
+            produced["vector"] = [target_semvec_np] * n_prod
+            produced["segment_data"] = False
+            if self.use_somatosensory_feedback:
+                tubes = seg_logs_ii["prod_tube"]
+                if not tubes and prod_tubes_host is not None:
+                    tubes = list(prod_tubes_host)
+                produced["tube_norm"] = tubes
+            frame_cache.append(produced)
+            return produced
 
         def _scarce_prints(header, k_total):
             # informational prints mirror the reference
@@ -1311,13 +1394,13 @@ class Paule:
             can train directly on the scan's device-resident arrays."""
             if add_training_data and len(self.continue_data) > 0:
                 want = int(0.5 * batch_size) * n_batches
-                if len(produced) < want:
+                if n_prod < want:
                     # scarce-data fallback (reference paule.py:1255-1266):
                     # ALL produced samples + the same count of replay
                     # samples -> 2n enhanced samples in ceil(2n/batch)
                     # batches.  (The reference would raise if the replay
                     # buffer held fewer than n rows; we clamp instead.)
-                    k = min(len(produced), len(self.continue_data))
+                    k = min(n_prod, len(self.continue_data))
                     _scarce_prints(
                         "Enhanced training data\n"
                         f"Not enough data produced to fill 50% of "
@@ -1327,20 +1410,21 @@ class Paule:
                     # held fewer than `want` rows (random.sample larger than
                     # population); we clamp instead
                     k = min(want, len(self.continue_data))
-                prod_idx = self._py_rng.sample(range(len(produced)), k)
+                prod_idx = self._py_rng.sample(range(n_prod), k)
                 old = self.continue_data.sample(k)
                 mixed = pd.concat(
-                    [old, produced.iloc[prod_idx].reset_index(drop=True)]
+                    [old, produced_frame().iloc[prod_idx].reset_index(
+                        drop=True)]
                 ).reset_index(drop=True)
                 return mixed, None
             want = batch_size * n_batches
-            k = min(want, len(produced))
+            k = min(want, n_prod)
             if k < want:
                 _scarce_prints(
                     "Produced training data\n"
                     f"Not enough data produced to fill {n_batches} "
                     "batches...", k)
-            idx = self._py_rng.sample(range(len(produced)), k)
+            idx = self._py_rng.sample(range(n_prod), k)
             # frame materialized lazily in run_train's host fallback: on
             # the device fast path it is never read
             return None, idx
@@ -1366,7 +1450,7 @@ class Paule:
                     trainer, din, dout, batch_size=batch_size,
                     n_epochs=n_epochs, rng=self._py_rng)
             if frame is None:  # pure-produced rows, host fallback
-                frame = produced.iloc[idx].reset_index(drop=True)
+                frame = produced_frame().iloc[idx].reset_index(drop=True)
             ins = list(frame[col[in_key]])
             outs = list(frame[col[out_key]])
             return trainer_mod.train_epochs(
@@ -1392,7 +1476,10 @@ class Paule:
             logs["inv_model_loss"].extend(run_train(
                 self.inv_trainer, "prod_mel", "cp", training_inv, inv_idx))
 
-        self.continue_data.append(produced)
+        if self.continue_data.data is not None or frame_cache:
+            # an empty buffer discards appends (reference quirk, see
+            # ReplayBuffer.append) — skip building the frame entirely then
+            self.continue_data.append(produced_frame())
 
     def plan_iterative(self, *, target_acoustic=None, target_semvecs=None,
                        target_seq_lengths=None, overlap=8, **kwargs):
