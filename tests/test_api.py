@@ -188,6 +188,42 @@ def test_sync_and_async_synthesis_agree(target):
                                rtol=1e-6)
 
 
+def test_defer_metrics_fetch_exact(target):
+    """defer_metrics_fetch=True (produced-metrics host transfer started
+    async and materialized only after the continue-learning dispatch) is
+    bit-identical to the blocking order: same losses, same trained
+    models, same replay-buffer contents, same RNG stream."""
+    import pandas as pd
+    kw = dict(target_acoustic=target, objective="acoustic_semvec",
+              initialize_from="acoustic", continue_learning=True,
+              n_outer=2, n_inner=6, log_ii=2, n_batches=1, batch_size=2,
+              n_epochs=1, add_training_data_pred=True,
+              add_training_data_inv=True, verbose=False)
+    continue_data = pd.DataFrame(
+        {"vector": [np.zeros(300)] * 4,
+         "cp_norm": [np.zeros((8, 30))] * 4,
+         "melspec_norm_synthesized": [np.zeros((4, 60))] * 4,
+         "tube_norm": [None] * 4,
+         "segment_data": [True] * 4})
+    p1 = Paule(seed=11, continue_data=continue_data.copy())
+    p1.defer_metrics_fetch = False
+    r1 = p1.plan_resynth(**kw)
+    p2 = Paule(seed=11, continue_data=continue_data.copy())
+    assert p2.defer_metrics_fetch  # the default
+    r2 = p2.plan_resynth(**kw)
+    np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)
+    np.testing.assert_array_equal(r1.planned_loss_steps,
+                                  r2.planned_loss_steps)
+    np.testing.assert_array_equal(r1.prod_loss_steps, r2.prod_loss_steps)
+    np.testing.assert_array_equal(r1.pred_model_loss, r2.pred_model_loss)
+    np.testing.assert_array_equal(r1.inv_model_loss, r2.inv_model_loss)
+    assert len(p1.continue_data) == len(p2.continue_data)
+    np.testing.assert_array_equal(
+        np.stack(list(p1.continue_data.data["melspec_norm_synthesized"])[-4:]),
+        np.stack(list(p2.continue_data.data["melspec_norm_synthesized"])[-4:]))
+    assert p1._py_rng.getstate() == p2._py_rng.getstate()
+
+
 def test_plan_overlap_exact(target):
     """plan_overlap=True (chunked scan dispatch, synthesis overlapped with
     device planning) is numerically EXACT vs the single-scan path: the
