@@ -830,6 +830,28 @@ class Paule:
                                  disable=not verbose)
         except ImportError:  # pragma: no cover
             outer_iter = range(n_outer)
+        # deferred per-iteration finalizers: each entry is the previous
+        # iteration's (finish_metrics, continue-learning loss thunks); they
+        # are flushed right AFTER the next planning scan is dispatched so
+        # their blocking host transfers ride behind queued device compute
+        # and the host->device round trips leave no device idle gap.
+        deferred_flush = []
+
+        def flush_deferred():
+            """Returns the elapsed seconds so a caller inside another
+            phase's timing window can shift its start marker."""
+            _t_all = time.perf_counter()
+            while deferred_flush:
+                fm, clp = deferred_flush.pop(0)
+                _t = time.perf_counter()
+                fm()
+                timings["metrics"] += time.perf_counter() - _t
+                _t = time.perf_counter()
+                for lst, thunk in clp:
+                    lst.extend(thunk())
+                timings["continue_learning"] += time.perf_counter() - _t
+            return time.perf_counter() - _t_all
+
         for ii_outer in outer_iter:
             seg_logs_ii = {
                 "cp": [], "prod_mel": [], "pred_mel": [], "pred_semvec": [],
@@ -896,6 +918,9 @@ class Paule:
                         lr=learning_rate_planning, log_every=log_ii)
                     chunk_outs.append(seg_out)
                     c0 = c1
+                # previous iteration's fetches, now queued behind the
+                # dispatched planning chunks
+                _t0 += flush_deferred()
                 snaps_dev = jnp.concatenate(
                     [so["xx_pre"][:, 0] for so in chunk_outs])
                 synth_futures = []
@@ -925,6 +950,10 @@ class Paule:
                     log_semantics=log_semantics, constraints=constraints,
                     lr=learning_rate_planning, log_every=log_ii)
                 snaps_dev = seg_out["xx_pre"][:, 0]
+                # previous iteration's deferred metric/training fetches:
+                # the planning scan is dispatched, so these transfers ride
+                # behind queued device compute with no device idle gap
+                _t0 += flush_deferred()
                 # one transfer point for all steps' logs
                 host = jax.device_get(_fetch_of(seg_out))
             subs = host["subs"]
@@ -1039,7 +1068,13 @@ class Paule:
                                             want_semvec, sig_devs=sig_devs,
                                             return_device=True, deferred=True)
 
-            def finish_metrics():
+            # default-arg capture on purpose: a deferred finish_metrics may
+            # run after the NEXT iteration rebinds these loop-scope names
+            # (flushed right behind the next planning-scan dispatch)
+            def finish_metrics(dm=dm, sigs=sigs, snapshots=snapshots,
+                               pred_mels=pred_mels, prod_tubes=prod_tubes,
+                               seg_logs_ii=seg_logs_ii,
+                               n_segments=n_segments, ii_outer=ii_outer):
                 nonlocal prod_mel, pred_mel_last
                 pm = dm.host()
                 prod_mels_np = np.asarray(pm["prod_mel"], dtype=np.float64)
@@ -1187,6 +1222,7 @@ class Paule:
             timings["metrics"] += time.perf_counter() - _t0
 
             # ---------------- continue learning ----------------
+            cl_pending = []
             if continue_learning and seg_logs_ii["cp"]:
                 _t0 = time.perf_counter()
                 # this outer iteration's training pairs are device-resident
@@ -1195,7 +1231,7 @@ class Paule:
                 dev_train = {"cp": snaps_dev.astype(self.dtype),
                              "prod_mel": pm_dev["prod_mel"],
                              "prod_tube": pm_dev["prod_tube"]}
-                self._continue_learning(
+                cl_pending = self._continue_learning(
                     seg_logs_ii, target_semvec_dev, logs,
                     continue_learning_inv=continue_learning_inv,
                     continue_learning_tube=continue_learning_tube,
@@ -1204,12 +1240,17 @@ class Paule:
                     n_batches=n_batches, batch_size=batch_size,
                     n_epochs=n_epochs, dev_train=dev_train,
                     deferred_metrics=dm if defer_fetch else None,
-                    prod_tubes_host=prod_tubes)
+                    prod_tubes_host=prod_tubes, defer=defer_fetch)
                 timings["continue_learning"] += time.perf_counter() - _t0
             if defer_fetch:
-                _t0 = time.perf_counter()
-                finish_metrics()
-                timings["metrics"] += time.perf_counter() - _t0
+                # materialized after the NEXT iteration's planning dispatch
+                # (or right below, after the last iteration)
+                deferred_flush.append((finish_metrics, cl_pending))
+            else:
+                for lst, thunk in cl_pending:  # pragma: no cover
+                    lst.extend(thunk())
+
+        flush_deferred()  # last iteration's fetches
 
         # ---------------- Phase F: final results ----------------
         planned_cp = _to_np(xx[0])
@@ -1336,7 +1377,8 @@ class Paule:
                            continue_learning_inv, continue_learning_tube,
                            add_training_data_pred, add_training_data_inv,
                            n_batches, batch_size, n_epochs, dev_train=None,
-                           deferred_metrics=None, prod_tubes_host=None):
+                           deferred_metrics=None, prod_tubes_host=None,
+                           defer=False):
         import pandas as pd
 
         n_prod = len(seg_logs_ii["cp"])
@@ -1448,7 +1490,7 @@ class Paule:
             if din is not None and dout is not None:
                 return trainer_mod.train_epochs_device(
                     trainer, din, dout, batch_size=batch_size,
-                    n_epochs=n_epochs, rng=self._py_rng)
+                    n_epochs=n_epochs, rng=self._py_rng, deferred=defer)
             if frame is None:  # pure-produced rows, host fallback
                 frame = produced_frame().iloc[idx].reset_index(drop=True)
             ins = list(frame[col[in_key]])
@@ -1456,30 +1498,39 @@ class Paule:
             return trainer_mod.train_epochs(
                 trainer, ins, outs, np.array([len(x) for x in ins]),
                 batch_size=batch_size, n_epochs=n_epochs, rng=self._py_rng,
-                dtype=self.dtype)
+                dtype=self.dtype, deferred=defer)
+
+        pending = []  # (logs list, thunk) pairs when defer
+
+        def record(lst, out):
+            if callable(out):  # deferred fetch: materialized by the caller
+                pending.append((lst, out))
+            else:
+                lst.extend(out)
 
         # predictive model (the physical forward model has no parameters)
         training, prod_idx = sample_training(add_training_data_pred)
         if not self.physical_forward:
-            logs["pred_model_loss"].extend(run_train(
+            record(logs["pred_model_loss"], run_train(
                 self.pred_trainer, "cp", "prod_mel", training, prod_idx))
 
         if continue_learning_tube and self.use_somatosensory_feedback:
-            logs["tube_model_loss"].extend(run_train(
+            record(logs["tube_model_loss"], run_train(
                 self.tube_trainer, "cp", "prod_tube", training, prod_idx))
-            logs["tube_mel_model_loss"].extend(run_train(
+            record(logs["tube_mel_model_loss"], run_train(
                 self.tube_mel_trainer, "prod_tube", "prod_mel", training,
                 prod_idx))
 
         if continue_learning_inv:
             training_inv, inv_idx = sample_training(add_training_data_inv)
-            logs["inv_model_loss"].extend(run_train(
+            record(logs["inv_model_loss"], run_train(
                 self.inv_trainer, "prod_mel", "cp", training_inv, inv_idx))
 
         if self.continue_data.data is not None or frame_cache:
             # an empty buffer discards appends (reference quirk, see
             # ReplayBuffer.append) — skip building the frame entirely then
             self.continue_data.append(produced_frame())
+        return pending
 
     def plan_iterative(self, *, target_acoustic=None, target_semvecs=None,
                        target_seq_lengths=None, overlap=8, **kwargs):

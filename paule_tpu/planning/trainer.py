@@ -167,8 +167,21 @@ class ModelTrainer:
         return losses
 
 
+def _deferred_fetch(tree, finalize):
+    """Start non-blocking device->host copies on every leaf of ``tree`` and
+    return a zero-arg thunk that materializes the host values and applies
+    ``finalize``.  Lets a caller dispatch more device work (the next outer
+    iteration's planning scan) before blocking on training losses."""
+    for leaf in jax.tree.leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:  # backend without async host copies
+            break
+    return lambda: finalize(jax.device_get(tree))
+
+
 def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
-                 rng=random, dtype=np.float32):
+                 rng=random, dtype=np.float32, deferred=False):
     """Train for n_epochs with same-size batching; returns per-epoch mean
     losses.  ``inps``/``tgts`` are sequences (lists / pandas Series) of
     variable-length (T_i, C) arrays.
@@ -192,7 +205,8 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
         all_in = jnp.asarray(np.stack(inps).astype(dtype))
         all_out = jnp.asarray(np.stack(tgts).astype(dtype))
         return _train_epochs_same_len(trainer, all_in, all_out,
-                                      epoch_batches, batch_size)
+                                      epoch_batches, batch_size,
+                                      deferred=deferred)
 
     device_losses = []  # per-epoch lists of device scalars; fetched once
     for batches in epoch_batches:  # variable-length (padded) slow path
@@ -205,8 +219,10 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
                               dtype=dtype)
             losses.append(trainer.train_batch(b_in, b_out))
         device_losses.append(losses)
-    host_losses = jax.device_get(device_losses)  # deferred single sync point
-    return [float(np.mean(ls)) for ls in host_losses]
+    fin = lambda host: [float(np.mean(ls)) for ls in host]
+    if deferred:
+        return _deferred_fetch(device_losses, fin)
+    return fin(jax.device_get(device_losses))  # single sync point
 
 
 def _plan_epoch_batches(n, lens_in, batch_size, n_epochs, rng):
@@ -225,7 +241,7 @@ def _plan_epoch_batches(n, lens_in, batch_size, n_epochs, rng):
 
 
 def _train_epochs_same_len(trainer, all_in, all_out, epoch_batches,
-                           batch_size):
+                           batch_size, deferred=False):
     """Same-length fast path on stacked (N, T, C) device arrays.
 
     Per epoch, the full-size batches form ONE fixed-shape scan (same
@@ -248,10 +264,12 @@ def _train_epochs_same_len(trainer, all_in, all_out, epoch_batches,
         # exactly the per-epoch order, so semantics are unchanged
         idx_all = np.concatenate([np.stack(f) for f in full_per_epoch])
         losses = trainer.train_scan(all_in, all_out, idx_all)
-        host = np.asarray(jax.device_get(losses))
-        per_epoch = np.split(host, np.cumsum(
-            [len(f) for f in full_per_epoch])[:-1])
-        return [float(np.mean(ls)) for ls in per_epoch]
+        splits = np.cumsum([len(f) for f in full_per_epoch])[:-1]
+        fin = lambda host: [float(np.mean(ls)) for ls in
+                            np.split(np.asarray(host), splits)]
+        if deferred:
+            return _deferred_fetch(losses, fin)
+        return fin(jax.device_get(losses))
     epoch_parts = []  # per epoch: list of device loss arrays/scalars
     for full, rest in zip(full_per_epoch, rest_per_epoch):
         parts = []
@@ -263,14 +281,16 @@ def _train_epochs_same_len(trainer, all_in, all_out, epoch_batches,
                 jnp.take(all_in, jnp.asarray(b), axis=0),
                 jnp.take(all_out, jnp.asarray(b), axis=0)))
         epoch_parts.append(parts)
-    host = jax.device_get(epoch_parts)  # one deferred sync point
-    return [float(np.mean(np.concatenate(
-                [np.atleast_1d(np.asarray(p)) for p in parts])))
-            for parts in host]
+    fin = lambda host: [float(np.mean(np.concatenate(
+                            [np.atleast_1d(np.asarray(p)) for p in parts])))
+                        for parts in host]
+    if deferred:
+        return _deferred_fetch(epoch_parts, fin)
+    return fin(jax.device_get(epoch_parts))  # one sync point
 
 
 def train_epochs_device(trainer, all_in, all_out, *, batch_size, n_epochs,
-                        rng=random):
+                        rng=random, deferred=False):
     """:func:`train_epochs` for data ALREADY stacked on device.
 
     Continue-learning's training pairs within one outer iteration are the
@@ -282,7 +302,8 @@ def train_epochs_device(trainer, all_in, all_out, *, batch_size, n_epochs,
     epoch_batches = _plan_epoch_batches(
         n, np.full(n, int(all_in.shape[1])), batch_size, n_epochs, rng)
     return _train_epochs_same_len(trainer, all_in, all_out,
-                                  epoch_batches, batch_size)
+                                  epoch_batches, batch_size,
+                                  deferred=deferred)
 
 
 class ReplayBuffer:
