@@ -63,17 +63,12 @@ class _DeferredMetrics:
     AND the device->host transfer with the training programs."""
 
     def __init__(self, out):
-        self._out = out
+        self._fetch = trainer_mod._deferred_fetch(out, lambda host: host)
         self._host = None
-        for leaf in jax.tree.leaves(out):
-            try:
-                leaf.copy_to_host_async()
-            except AttributeError:  # backend without async host copies
-                break
 
     def host(self):
         if self._host is None:
-            self._host = jax.device_get(self._out)
+            self._host = self._fetch()
         return self._host
 
 
@@ -925,15 +920,19 @@ class Paule:
                     [so["xx_pre"][:, 0] for so in chunk_outs])
                 synth_futures = []
                 host_chunks = []
+                snap64_chunks = []
                 for so in chunk_outs:
                     hc = jax.device_get(_fetch_of(so))
-                    for row in np.asarray(hc["xx_pre"], dtype=np.float64):
+                    rows = np.asarray(hc.pop("xx_pre"), dtype=np.float64)
+                    snap64_chunks.append(rows)
+                    for row in rows:
                         synth_futures.append(
                             self._executor.submit(self._synthesize, row))
                     host_chunks.append(hc)
                 host = jax.tree.map(
                     lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
                     *host_chunks)
+                snapshots = np.concatenate(snap64_chunks)
             else:
                 # ---- ONE compiled scan for the whole outer iteration ----
                 # (n_inner steps; per-step snapshots/sub-losses come back
@@ -957,7 +956,8 @@ class Paule:
                 # one transfer point for all steps' logs
                 host = jax.device_get(_fetch_of(seg_out))
             subs = host["subs"]
-            snapshots = np.asarray(host["xx_pre"], dtype=np.float64)
+            if "xx_pre" in host:  # single-scan branch (overlap built it)
+                snapshots = np.asarray(host["xx_pre"], dtype=np.float64)
             pred_mels = np.asarray(host["pred_mel"], dtype=np.float64)
 
             for s in range(n_segments):
@@ -1247,8 +1247,8 @@ class Paule:
                 # (or right below, after the last iteration)
                 deferred_flush.append((finish_metrics, cl_pending))
             else:
-                for lst, thunk in cl_pending:  # pragma: no cover
-                    lst.extend(thunk())
+                # defer=False means _continue_learning fetched inline
+                assert not cl_pending
 
         flush_deferred()  # last iteration's fetches
 
