@@ -180,12 +180,41 @@ def run_ours(p, target, init_cp, n_outer):
     return r
 
 
+def wait_device_healthy(stage):
+    """Wait (bounded) for the accelerator to answer a trivial jit.
+
+    A wedged TPU tunnel / remote-compile service hangs any in-process jit
+    forever (observed outages of 25+ minutes), so probe from a SUBPROCESS
+    with a timeout and retry until ``BENCH_HEALTH_WAIT_S`` (default 900 s)
+    is spent — a driver-launched bench then rides out a transient outage
+    instead of dying mid-run."""
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_HEALTH_WAIT_S", "900"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "jax.jit(lambda a: (a @ a).sum())(jnp.ones((64, 64)))")
+    deadline = time.monotonic() + budget
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=120,
+                           check=True, capture_output=True)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.monotonic() >= deadline:
+                stage(f"device probe still failing after the {budget:.0f}s "
+                      "wait budget; proceeding anyway")
+                return False
+            stage("device probe hung/failed (tunnel outage?) — waiting")
+            time.sleep(60)
+
+
 def main():
     # stage markers on stderr: if the driver's timeout kills the run (e.g.
     # during a TPU-tunnel outage), the captured tail shows where it died
     def stage(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+    wait_device_healthy(stage)
     # initialize the JAX TPU backend BEFORE anything imports torch: on the
     # tunneled-TPU host, importing torch first deadlocks backend init
     # (observed: futex wait forever on the first device call)
