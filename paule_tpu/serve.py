@@ -33,7 +33,9 @@ startup is failed.  Robustness limits: request bodies above
 ``PauleService.MAX_REQUEST_BYTES`` (64 MB default) are rejected with 413
 before being read; planning requests beyond a bounded queue
 (``PLAN_QUEUE_LIMIT``, default 4 waiting) or whose lock wait exceeds
-``PLAN_WAIT_TIMEOUT_S`` get 429 with a Retry-After header.
+``PLAN_WAIT_TIMEOUT_S`` get 429 with a Retry-After header; a warmup still
+running after ``warmup_timeout`` seconds (wedged accelerator tunnel) flips
+/health to "error" instead of reporting "warming" forever.
 """
 
 import base64
@@ -312,8 +314,52 @@ def make_server(service, host="127.0.0.1", port=8750):
     return ThreadingHTTPServer((host, port), Handler)
 
 
+class WarmupTimeout(RuntimeError):
+    """Warmup was still running at the watchdog deadline."""
+
+
+def start_warmup(service, lengths, warmup_timeout=None):
+    """Build the model (if deferred) and run :func:`_warmup` in a daemon
+    thread.  With ``warmup_timeout`` (seconds) a watchdog thread flips
+    /health to "error" if warmup is still running at the deadline — a
+    wedged accelerator tunnel hangs the underlying compile/RPC forever, and
+    without the watchdog the server would report "warming" indefinitely.
+    A late warmup completion clears the watchdog's error and serves
+    normally."""
+    service.ready.clear()
+
+    def _run_warmup():
+        try:
+            if service.model is None:
+                service._build_model()
+            _warmup(service.model, lengths)
+            if isinstance(service.startup_error, WarmupTimeout):
+                service.startup_error = None  # late recovery
+            service.ready.set()
+            print("paule_tpu warmup complete")
+        except Exception as exc:  # noqa: BLE001
+            service.startup_error = exc
+            print(f"paule_tpu startup FAILED: "
+                  f"{type(exc).__name__}: {exc}")
+
+    threading.Thread(target=_run_warmup, daemon=True).start()
+    if warmup_timeout:
+        def _watchdog():
+            # the is_set() re-check narrows the wait-timeout/ready race to
+            # microseconds; a late completion clears the error anyway
+            if (not service.ready.wait(warmup_timeout)
+                    and not service.ready.is_set()
+                    and service.startup_error is None):
+                service.startup_error = WarmupTimeout(
+                    f"warmup still running after {warmup_timeout:.0f}s "
+                    "(wedged accelerator tunnel or cold remote compile); "
+                    "compute endpoints stay 503 until it completes")
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+
+
 def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
-          **paule_kwargs):
+          warmup_timeout=1800.0, **paule_kwargs):
     """Start serving (blocking).
 
     ``warmup``: ``True`` runs a tiny planning call in the background so the
@@ -324,7 +370,11 @@ def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
     finishes (remote XLA compilation can take minutes on a cold cache — an
     invisible port for that long breaks orchestrator liveness checks); if
     model construction or warmup fails, /health reports "error" and the
-    compute endpoints 503 with the failure."""
+    compute endpoints 503 with the failure.  ``warmup_timeout`` (seconds,
+    0/None disables) bounds how long /health may report "warming": past the
+    deadline it reports "error" with a :class:`WarmupTimeout` detail (the
+    usual cause is a wedged accelerator tunnel whose RPCs hang forever); a
+    late warmup completion clears the error and serves normally."""
     if warmup is True:
         lengths = (40,)
     elif not warmup:  # False, None, empty iterable
@@ -335,21 +385,7 @@ def serve(host="127.0.0.1", port=8750, *, paule_model=None, warmup=True,
     service = PauleService(paule_model, defer_model=do_warm, **paule_kwargs)
     server = make_server(service, host, port)
     if do_warm:
-        service.ready.clear()
-
-        def _run_warmup():
-            try:
-                if service.model is None:
-                    service._build_model()
-                _warmup(service.model, lengths)
-                service.ready.set()
-                print("paule_tpu warmup complete")
-            except Exception as exc:  # noqa: BLE001
-                service.startup_error = exc
-                print(f"paule_tpu startup FAILED: "
-                      f"{type(exc).__name__}: {exc}")
-
-        threading.Thread(target=_run_warmup, daemon=True).start()
+        start_warmup(service, lengths, warmup_timeout)
     print(f"paule_tpu serving on http://{host}:{port}")
     server.serve_forever()
 
@@ -400,6 +436,9 @@ if __name__ == "__main__":
                     help="comma-separated cp-frame lengths to precompile "
                          "(= 2 x mel frames of expected requests), e.g. "
                          "'40,200,400'")
+    ap.add_argument("--warmup-timeout", type=float, default=1800.0,
+                    help="seconds before a still-running warmup flips "
+                         "/health to 'error' (0 disables)")
     ap.add_argument("--pretrained-dir", default=None)
     args = ap.parse_args()
     if args.no_warmup:
@@ -409,4 +448,5 @@ if __name__ == "__main__":
     else:
         warmup = True
     serve(args.host, args.port, warmup=warmup,
+          warmup_timeout=args.warmup_timeout,
           pretrained_dir=args.pretrained_dir)

@@ -294,3 +294,49 @@ def test_plan_lock_wait_timeout_429(stack):
     finally:
         service._plan_lock.release()
         service.PLAN_WAIT_TIMEOUT_S = old_t
+
+
+def test_warmup_watchdog(monkeypatch):
+    """A warmup that outlives the watchdog deadline flips the service to
+    the error state (a wedged accelerator tunnel hangs warmup RPCs
+    forever); a LATE completion clears the watchdog's error and serves.
+    Only the state machine is under test — _warmup is stubbed."""
+    import time
+
+    release = threading.Event()
+    monkeypatch.setattr(serve, "_warmup",
+                        lambda model, lengths: release.wait(30))
+    service = serve.PauleService(object())
+    serve.start_warmup(service, (40,), warmup_timeout=0.2)
+
+    deadline = time.time() + 10
+    while service.startup_error is None and time.time() < deadline:
+        time.sleep(0.02)
+    assert isinstance(service.startup_error, serve.WarmupTimeout)
+    assert not service.ready.is_set()
+
+    release.set()  # the wedge clears; warmup completes late
+    deadline = time.time() + 10
+    while not service.ready.is_set() and time.time() < deadline:
+        time.sleep(0.02)
+    assert service.ready.is_set()
+    assert service.startup_error is None
+
+
+def test_warmup_no_watchdog_by_default_disable(monkeypatch):
+    """warmup_timeout=0/None disables the watchdog: a slow warmup stays in
+    the 'warming' state (no error) until it completes."""
+    import time
+
+    release = threading.Event()
+    monkeypatch.setattr(serve, "_warmup",
+                        lambda model, lengths: release.wait(30))
+    service = serve.PauleService(object())
+    serve.start_warmup(service, (40,), warmup_timeout=0)
+    time.sleep(0.4)
+    assert service.startup_error is None and not service.ready.is_set()
+    release.set()
+    deadline = time.time() + 10
+    while not service.ready.is_set() and time.time() < deadline:
+        time.sleep(0.02)
+    assert service.ready.is_set() and service.startup_error is None
