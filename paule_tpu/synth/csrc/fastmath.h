@@ -134,6 +134,20 @@ inline double fast_sinpi_sq(double p) {
   return s * s;
 }
 
+// sin(2 pi u) for any finite u, range-reduced mod 1 (abs error < 3e-10 on
+// the reduced argument; for large |u| the reduction itself carries the
+// usual catastrophic-cancellation precision loss, same as sin(2*pi*u)
+// evaluated in double).
+inline double fast_sin2pi(double u) {
+  double y = 2.0 * (u - std::floor(u));  // [0, 2)
+  double sign = 1.0;
+  if (y >= 1.0) {
+    y -= 1.0;
+    sign = -1.0;
+  }
+  return sign * fast_cospi_half(y - 0.5);
+}
+
 // tanh(x) for x >= 0 via the [3/2] Pade approximant, which reaches exactly
 // 1.0 at x = 3 and is clamped there (abs error < 5e-3 — used only to
 // saturate a noise level estimate, far below audibility).

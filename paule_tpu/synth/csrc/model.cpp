@@ -268,6 +268,8 @@ Speaker Speaker::load(const std::string& path, std::string* err) {
 
 namespace {
 
+constexpr double kLog2E = 1.4426950408889634;  // fast_exp's exp->exp2 factor
+
 // rest sagittal distance d(x) and effective width w(x) along the normalized
 // tract axis (0 = glottis, 1 = lips)
 constexpr int kNP = 11;
@@ -351,6 +353,51 @@ double TractGeometry::d(double x) const {
   return dist;
 }
 
+// Everything in TractGeometry::d / w that depends only on the section
+// position x — the piecewise-linear rest profiles (branchy anchor scans),
+// the fixed-center gaussians (velum, tongue-side zones), the jaw taper and
+// lip-blend weights, and the articulator labels — is precomputed ONCE at
+// the 40 fixed section midpoints with the exact same expressions, so the
+// per-call tract_to_tube loop is branch-free over constant tables and
+// auto-vectorizes.  Values are bit-identical to the formerly-inline
+// evaluation by construction.
+struct TractTables {
+  alignas(64) double x[kTubeSections];
+  alignas(64) double base_d[kTubeSections];   // rest sagittal profile
+  alignas(64) double w[kTubeSections];        // effective width profile
+  alignas(64) double g_velum[kTubeSections];  // gauss(x, 0.50, 0.05)
+  alignas(64) double taper[kTubeSections];    // jaw-opening taper weight
+  alignas(64) double ls[kTubeSections];       // lip-blend weight
+  alignas(64) double g_ts1[kTubeSections];    // gauss(x, 0.58, 0.10)
+  alignas(64) double g_ts2[kTubeSections];    // gauss(x, 0.72, 0.08)
+  alignas(64) double g_ts3[kTubeSections];    // gauss(x, 0.83, 0.06)
+  int articulator[kTubeSections];
+  TractTables() {
+    for (int i = 0; i < kTubeSections; ++i) {
+      double xi = (i + 0.5) / kTubeSections;
+      x[i] = xi;
+      base_d[i] = profile(kPX, kPD, kNP, xi);
+      w[i] = profile(kWX, kWW, kNW, xi);
+      g_velum[i] = gauss(xi, 0.50, 0.05);
+      taper[i] = clampd((xi - 0.55) / 0.35, 0.0, 1.0);
+      ls[i] = clampd((xi - 0.90) / 0.07, 0.0, 1.0);
+      g_ts1[i] = gauss(xi, 0.58, 0.10);
+      g_ts2[i] = gauss(xi, 0.72, 0.08);
+      g_ts3[i] = gauss(xi, 0.83, 0.06);
+      articulator[i] = xi < 0.03   ? kVocalFolds
+                       : xi < 0.32 ? kOtherArticulator
+                       : xi < 0.86 ? kTongue
+                       : xi < 0.93 ? kLowerIncisors
+                                   : kLowerLip;
+    }
+  }
+};
+
+const TractTables& tract_tables() {
+  static const TractTables t;
+  return t;
+}
+
 }  // namespace
 
 void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube) {
@@ -358,32 +405,53 @@ void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube) {
   std::memcpy(q.data(), tract, sizeof(q));
   spk.clamp_tract(q.data());
   TractGeometry g = make_geometry(spk, q.data());
+  const TractTables& tt = tract_tables();
 
+  // hoist the loop-invariant scalars (same arithmetic as the inline path)
   const double sec_len = g.length_cm / kTubeSections;
+  const double jaw_term = 0.9 * (g.jaw_open - 2.0 / 7.0);
+  const double lip_target = 0.8 * g.lip_dist;
+  const double vs30 = 0.30 * g.vs;
+  const double ts1f = 0.45 * g.ts1, ts2f = 0.45 * g.ts2;
+  const bool ts3_up = g.ts3 > 0;
+  const double ts3f = ts3_up ? 0.45 * g.ts3 : 0.35 * (-g.ts3);
+
   for (int i = 0; i < kTubeSections; ++i) {
-    double x = (i + 0.5) / kTubeSections;
-    double dist = std::max(g.d(x), 0.0);
-    double area = g.w(x) * fast_pow(dist, 1.3);
+    const double x = tt.x[i];
+    // tongue constrictions (gaussians with per-call centers); exponents stay
+    // far above fast_exp2's underflow edge, so the branch-free _nc variants
+    // are bit-identical here and the loop if-converts + vectorizes
+    double zb = (x - g.c_body) / 0.12;
+    double zl = (x - g.c_blade) / 0.08;
+    double zt = (x - g.c_tip) / 0.05;
+    double zr = (x - g.c_root) / 0.10;
+    double body = g.a_body * fast_exp2_nc(-0.5 * zb * zb * kLog2E);
+    double blade = g.a_blade * fast_exp2_nc(-0.5 * zl * zl * kLog2E);
+    double tip = g.a_tip * fast_exp2_nc(-0.5 * zt * zt * kLog2E);
+    double root = g.a_root * fast_exp2_nc(-0.5 * zr * zr * kLog2E);
+    double dist = tt.base_d[i] -
+                  std::max(std::max(body, blade), std::max(tip, root));
+    dist -= vs30 * tt.g_velum[i];
+    dist += jaw_term * tt.taper[i];
+    dist = lerp(dist, lip_target, tt.ls[i]);
+    dist = std::max(dist, 0.0);
+    // dist^1.3 (fast_pow if-converted: the threshold keeps the exponent in
+    // fast_exp2_nc's exact range; below it the old path returned < 2^-863)
+    double p13 = (dist > 1e-200)
+                     ? fast_exp2_nc(1.3 * fast_log2_bc(dist))
+                     : 0.0;
+    double area = tt.w[i] * p13;
     // tongue side elevation reduces lateral area in its zone; a negative
     // TS3 (lowered sides) keeps a lateral bypass open at the tip
-    area *= 1.0 - 0.45 * g.ts1 * gauss(x, 0.58, 0.10);
-    area *= 1.0 - 0.45 * g.ts2 * gauss(x, 0.72, 0.08);
-    if (g.ts3 > 0)
-      area *= 1.0 - 0.45 * g.ts3 * gauss(x, 0.83, 0.06);
+    area *= 1.0 - ts1f * tt.g_ts1[i];
+    area *= 1.0 - ts2f * tt.g_ts2[i];
+    if (ts3_up)
+      area *= 1.0 - ts3f * tt.g_ts3[i];
     else
-      area += 0.35 * (-g.ts3) * gauss(x, 0.83, 0.06);
+      area += ts3f * tt.g_ts3[i];
     tube->length_cm[i] = sec_len;
     tube->area_cm2[i] = clampd(area, 0.0, 15.0);
-    if (x < 0.03)
-      tube->articulator[i] = kVocalFolds;
-    else if (x < 0.32)
-      tube->articulator[i] = kOtherArticulator;
-    else if (x < 0.86)
-      tube->articulator[i] = kTongue;
-    else if (x < 0.93)
-      tube->articulator[i] = kLowerIncisors;
-    else
-      tube->articulator[i] = kLowerLip;
+    tube->articulator[i] = tt.articulator[i];
   }
   tube->total_length_cm = g.length_cm;
   tube->incisor_pos_cm = clampd(g.length_cm * 0.90 + 0.8 + 0.4 * q[2], 14.0, 18.0);
@@ -465,12 +533,14 @@ void GlottisState::prepare(const Speaker& spk, const double* gp) {
                FL = gp[9], AS = gp[10];
 
   // flutter: slow quasi-random f0 modulation (Klatt-style three-sine);
-  // 4.7-12.7 Hz, so sampling it once per control block is exact enough
+  // 4.7-12.7 Hz, so sampling it once per control block is exact enough.
+  // fast_sin2pi replaces libm sin (this runs per control block): abs error
+  // <3e-10 on a modulation whose own scale is <=2% of F0 — inaudible.
   double t = (double)pulse_index / std::max(F0, 1.0) +
              phase / std::max(F0, 1.0);
   double flut = (FL / 50.0) * 0.01 *
-                (std::sin(2 * M_PI * 12.7 * t) + std::sin(2 * M_PI * 7.1 * t) +
-                 std::sin(2 * M_PI * 4.7 * t)) / 3.0;
+                (fast_sin2pi(12.7 * t) + fast_sin2pi(7.1 * t) +
+                 fast_sin2pi(4.7 * t)) / 3.0;
   f0_eff_ = F0 * (1.0 + flut);
 
   // PS (pulse skewness) modulates the oscillation asymmetry exponent
@@ -484,7 +554,9 @@ void GlottisState::prepare(const Speaker& spk, const double* gp) {
   fold2_ = 2.0 * spk.fold_length_cm;
   // Bernoulli flow coefficient (cgs): u = A * sqrt(2 dP / rho)
   u_coeff_ = std::sqrt(2.0 * PR * 10.0 / 1.14e-3);
-  asp_gain13_ = std::pow(10.0, AS / 20.0) * 1.3;
+  // 10^(AS/20) as 2^(AS * log2(10)/20): rel err <3e-9 on an aspiration
+  // gain — far below audibility, and ~10x faster than libm pow
+  asp_gain13_ = fast_exp2(AS * 0.16609640474436813) * 1.3;
 }
 
 double GlottisState::step(double* area_out) {
