@@ -795,113 +795,149 @@ void Waveguide::blend(double a) {
 }
 
 double Waveguide::step(double glottal_flow) {
+  double out;
+  step_block(1, &glottal_flow, &out);
+  return out;
+}
+
+void Waveguide::step_block(int n, const double* flows, double* out) {
   constexpr double kDamp = 0.996;
   constexpr double kGlottisRefl = 0.96;
   const int M = M_;
-
-  // ping-pong: read the current buffers, write every entry in [0, M) of
-  // the alternate ones (source/lip ends + interior junctions), then flip;
-  // sections beyond M are cleared by commit_ on M changes
-  const double* __restrict fwd_ = fbuf_[cur_].data();
-  const double* __restrict bwd_ = bbuf_[cur_].data();
-  double* __restrict newf = fbuf_[cur_ ^ 1].data();
-  double* __restrict newb = bbuf_[cur_ ^ 1].data();
-  double* __restrict nfwd_ = nfbuf_[cur_].data();
-  double* __restrict nbwd_ = nbbuf_[cur_].data();
-  double* __restrict nf = nfbuf_[cur_ ^ 1].data();
-  double* __restrict nb = nbbuf_[cur_ ^ 1].data();
-
-  // source at the glottal end (pressure wave from glottal volume velocity)
-  double src = glottal_flow * src_scale_;
-  newf[0] = kGlottisRefl * bwd_[0] * kDamp + src;
-
-  // lip end: lowpassed radiation reflection; radiated sound is the
-  // differentiated transmitted pressure
-  double lip_in = fwd_[M - 1] * kDamp;
-  lip_lp_ += 0.55 * (lip_in - lip_lp_);
-  newb[M - 1] = lip_refl_ * lip_lp_;
-  double lip_out = lip_in + newb[M - 1];
-
-  // interior scattering junctions, in the factored form
-  //   d = k (fi - bi1);  newf = fi + d;  newb = bi1 + d
-  // (algebraically equal to (1+k)fi - k bi1 / k fi + (1-k)bi1 with two
-  // fewer multiplies per junction; rounding differs at ~1 ulp, which the
-  // damped recurrence keeps bounded — end-to-end audio moves ~1e-12)
   const bool nasal_on = a_port_ > 1e-4;
-  for (int i = 0; i < M - 1; ++i) {
-    double fi = fwd_[i] * kDamp;
-    double bi1 = bwd_[i + 1] * kDamp;
-    double d = k_[i] * (fi - bi1);
-    newf[i + 1] = fi + d;
-    newb[i] = bi1 + d;
-  }
-  if (nasal_on) {
-    // three-port junction with the nasal tract (admittances ~ areas)
-    const int i = iv_;
-    double fi = fwd_[i] * kDamp;
-    double bi1 = bwd_[i + 1] * kDamp;
-    double nb0 = nbwd_[0] * kDamp;
-    double y1 = A_[i], y2 = A_[i + 1], y3 = a_port_;
-    double pj = (y1 * fi + y2 * bi1 + y3 * nb0) * port_scale_;
-    newb[i] = pj - fi;
-    newf[i + 1] = pj - bi1;
-    nfwd_[0] = pj - nb0;
-  }
 
-  // nasal tract propagation + nostril radiation.  While the velar port is
-  // open the 3-port junction above drives nfwd_[0]; when it closes, the
-  // velar end becomes a (damped) closed-tube reflection so trapped energy
-  // drains through the nostrils instead of freezing in nfwd_[0] and
-  // re-driving the branch forever.  A cooldown bounds the extra work: once
-  // the residual has decayed (~70 ms), the branch state clears and the
-  // loop stops running.
-  double nose_out = 0.0;
-  if (nasal_on) nasal_cooldown_ = 3000;
-  if (nasal_on || nasal_cooldown_ > 0) {
-    constexpr int NN = kNasalSections;
-    nf[0] = nasal_on ? nfwd_[0] : nbwd_[0] * kDamp;
-    double nose_in = nfwd_[NN - 1] * kDamp;
-    nose_lp_ += 0.45 * (nose_in - nose_lp_);
-    nb[NN - 1] = -0.80 * nose_lp_;
-    nose_out = nose_in + nb[NN - 1];
-    for (int i = 0; i < NN - 1; ++i) {
-      double fi = nfwd_[i] * kDamp;
-      double bi1 = nbwd_[i + 1] * kDamp;
-      double d = nk_[i] * (fi - bi1);
-      nf[i + 1] = fi + d;
-      nb[i] = bi1 + d;
+  // block-invariant coefficients and scalar filter states hoisted into
+  // locals: per-sample step() paid member load/store traffic for all of
+  // these on every sample; here they stay in registers across the block
+  // and are written back once.
+  const double src_scale = src_scale_;
+  const double lip_refl = lip_refl_;
+  const double* __restrict k = k_;
+  const int iv = iv_;
+  const double y1 = A_[iv], y2 = A_[iv + 1], y3 = a_port_;
+  const double port_scale = port_scale_;
+  const int fric_i = fric_i_;
+  const double fric_amp = fric_amp_;
+  double lip_lp = lip_lp_;
+  double lip_out_prev = lip_out_prev_;
+  double radiated_prev = radiated_prev_;
+  double nose_lp = nose_lp_;
+  double fric_lp = fric_lp_;
+  uint32_t nstate = noise_state_;
+  int cur = cur_;
+  int cooldown = nasal_cooldown_;
+
+  for (int s = 0; s < n; ++s) {
+    // ping-pong: read the current buffers, write every entry in [0, M) of
+    // the alternate ones (source/lip ends + interior junctions), then flip;
+    // sections beyond M are cleared by commit_ on M changes
+    const double* __restrict fwd_ = fbuf_[cur].data();
+    const double* __restrict bwd_ = bbuf_[cur].data();
+    double* __restrict newf = fbuf_[cur ^ 1].data();
+    double* __restrict newb = bbuf_[cur ^ 1].data();
+    double* __restrict nfwd_ = nfbuf_[cur].data();
+    double* __restrict nbwd_ = nbbuf_[cur].data();
+    double* __restrict nf = nfbuf_[cur ^ 1].data();
+    double* __restrict nb = nbbuf_[cur ^ 1].data();
+
+    // source at the glottal end (pressure wave from glottal volume velocity)
+    double src = flows[s] * src_scale;
+    newf[0] = kGlottisRefl * bwd_[0] * kDamp + src;
+
+    // lip end: lowpassed radiation reflection; radiated sound is the
+    // differentiated transmitted pressure
+    double lip_in = fwd_[M - 1] * kDamp;
+    lip_lp += 0.55 * (lip_in - lip_lp);
+    newb[M - 1] = lip_refl * lip_lp;
+    double lip_out = lip_in + newb[M - 1];
+
+    // interior scattering junctions, in the factored form
+    //   d = k (fi - bi1);  newf = fi + d;  newb = bi1 + d
+    // (algebraically equal to (1+k)fi - k bi1 / k fi + (1-k)bi1 with two
+    // fewer multiplies per junction; rounding differs at ~1 ulp, which the
+    // damped recurrence keeps bounded — end-to-end audio moves ~1e-12)
+    for (int i = 0; i < M - 1; ++i) {
+      double fi = fwd_[i] * kDamp;
+      double bi1 = bwd_[i + 1] * kDamp;
+      double d = k[i] * (fi - bi1);
+      newf[i + 1] = fi + d;
+      newb[i] = bi1 + d;
     }
-    if (!nasal_on && --nasal_cooldown_ == 0) {
-      nfbuf_[0].fill(0.0);
-      nfbuf_[1].fill(0.0);
-      nbbuf_[0].fill(0.0);
-      nbbuf_[1].fill(0.0);
-      nose_lp_ = 0.0;
+    if (nasal_on) {
+      // three-port junction with the nasal tract (admittances ~ areas)
+      const int i = iv;
+      double fi = fwd_[i] * kDamp;
+      double bi1 = bwd_[i + 1] * kDamp;
+      double nb0 = nbwd_[0] * kDamp;
+      double pj = (y1 * fi + y2 * bi1 + y3 * nb0) * port_scale;
+      newb[i] = pj - fi;
+      newf[i + 1] = pj - bi1;
+      nfwd_[0] = pj - nb0;
     }
+
+    // nasal tract propagation + nostril radiation.  While the velar port is
+    // open the 3-port junction above drives nfwd_[0]; when it closes, the
+    // velar end becomes a (damped) closed-tube reflection so trapped energy
+    // drains through the nostrils instead of freezing in nfwd_[0] and
+    // re-driving the branch forever.  A cooldown bounds the extra work: once
+    // the residual has decayed (~70 ms), the branch state clears and the
+    // loop stops running.
+    double nose_out = 0.0;
+    if (nasal_on) cooldown = 3000;
+    if (nasal_on || cooldown > 0) {
+      constexpr int NN = kNasalSections;
+      nf[0] = nasal_on ? nfwd_[0] : nbwd_[0] * kDamp;
+      double nose_in = nfwd_[NN - 1] * kDamp;
+      nose_lp += 0.45 * (nose_in - nose_lp);
+      nb[NN - 1] = -0.80 * nose_lp;
+      nose_out = nose_in + nb[NN - 1];
+      for (int i = 0; i < NN - 1; ++i) {
+        double fi = nfwd_[i] * kDamp;
+        double bi1 = nbwd_[i + 1] * kDamp;
+        double d = nk_[i] * (fi - bi1);
+        nf[i + 1] = fi + d;
+        nb[i] = bi1 + d;
+      }
+      if (!nasal_on && --cooldown == 0) {
+        nfbuf_[0].fill(0.0);
+        nfbuf_[1].fill(0.0);
+        nbbuf_[0].fill(0.0);
+        nbbuf_[1].fill(0.0);
+        nose_lp = 0.0;
+      }
+    }
+
+    // frication: inject bandlimited noise downstream of a narrow
+    // supraglottal constriction, scaled by the local flow estimate
+    if (fric_amp > 0.0) {
+      double u_c = (fwd_[fric_i] - bwd_[fric_i]);
+      double nw = white(&nstate);
+      fric_lp += 0.55 * (nw - fric_lp);
+      double band = nw - fric_lp;  // highpassed noise
+      int inj = std::min(fric_i + 1, M - 1);
+      // saturating level estimate: no positive feedback loop possible
+      double level = fast_tanh_pos(3.0 * std::abs(u_c));
+      newf[inj] += band * fric_amp * level * 0.25;
+    }
+
+    cur ^= 1;  // the freshly written buffers become current
+
+    // radiation: differentiate, add nasal output, DC-block
+    double pressure = lip_out + 0.8 * nose_out;
+    double radiated = pressure - lip_out_prev + 0.995 * radiated_prev;
+    lip_out_prev = pressure;
+    radiated_prev = radiated;
+    out[s] = radiated;
   }
 
-  // frication: inject bandlimited noise downstream of a narrow supraglottal
-  // constriction, scaled by the local flow estimate
-  if (fric_amp_ > 0.0) {
-    int im = fric_i_;
-    double u_c = (fwd_[im] - bwd_[im]);
-    double n = white(&noise_state_);
-    fric_lp_ += 0.55 * (n - fric_lp_);
-    double band = n - fric_lp_;  // highpassed noise
-    int inj = std::min(im + 1, M - 1);
-    // saturating level estimate: no positive feedback loop possible
-    double level = fast_tanh_pos(3.0 * std::abs(u_c));
-    newf[inj] += band * fric_amp_ * level * 0.25;
-  }
-
-  cur_ ^= 1;  // the freshly written buffers become current
-
-  // radiation: differentiate, add nasal output, DC-block
-  double pressure = lip_out + 0.8 * nose_out;
-  double radiated = pressure - lip_out_prev_ + 0.995 * radiated_prev_;
-  lip_out_prev_ = pressure;
-  radiated_prev_ = radiated;
-  return radiated;
+  lip_lp_ = lip_lp;
+  lip_out_prev_ = lip_out_prev;
+  radiated_prev_ = radiated_prev;
+  nose_lp_ = nose_lp;
+  fric_lp_ = fric_lp;
+  noise_state_ = nstate;
+  cur_ = cur;
+  nasal_cooldown_ = cooldown;
 }
 
 // ---------------------------------------------------------------------------
@@ -947,7 +983,7 @@ void Synthesizer::synth_ramp(const double* tract0, const double* glottis0,
     glottis_state_.prepare(speaker_, gp);
     int bn = std::min(kControlBlock, n - s);
     glottis_state_.step_block(bn, flows);
-    for (int i = 0; i < bn; ++i) audio[s + i] = wg_.step(flows[i]);
+    wg_.step_block(bn, flows, audio + s);
   }
 }
 
@@ -1004,7 +1040,7 @@ int Synthesizer::add_tube(int n_samples, double* audio,
     glottis_state_.prepare(speaker_, gp);
     int bn = std::min(kControlBlock, n_samples - s);
     glottis_state_.step_block(bn, flows);
-    for (int i = 0; i < bn; ++i) audio[s + i] = wg_.step(flows[i]);
+    wg_.step_block(bn, flows, audio + s);
   }
   cur_tube_ = target;
   std::memcpy(cur_glottis_.data(), glottis, sizeof(cur_glottis_));

@@ -158,6 +158,11 @@ class Waveguide {
   void blend(double a);
   // audio-rate: one output sample from the glottal flow
   double step(double glottal_flow);
+  // audio-rate, batched: n samples with the committed coefficients.  Same
+  // math as step() in a single loop, so the scalar filter states (lip /
+  // nose / frication / radiation) live in registers across the block
+  // instead of round-tripping through members every sample.
+  void step_block(int n, const double* flows, double* out);
   // convenience: set_tube + one sample (analysis paths)
   double step(const Tube& tube, double glottal_flow, double /*seed*/) {
     set_tube(tube);
