@@ -327,15 +327,21 @@ def start_warmup(service, lengths, warmup_timeout=None):
     A late warmup completion clears the watchdog's error and serves
     normally."""
     service.ready.clear()
+    # serializes the completion/deadline handoff: without it the watchdog
+    # can pass its checks, lose the CPU to a completing warmup (which sees
+    # no error to clear and sets ready), then assign WarmupTimeout — a
+    # successfully warmed server stuck reporting "error" forever
+    guard = threading.Lock()
 
     def _run_warmup():
         try:
             if service.model is None:
                 service._build_model()
             _warmup(service.model, lengths)
-            if isinstance(service.startup_error, WarmupTimeout):
-                service.startup_error = None  # late recovery
-            service.ready.set()
+            with guard:
+                if isinstance(service.startup_error, WarmupTimeout):
+                    service.startup_error = None  # late recovery
+                service.ready.set()
             print("paule_tpu warmup complete")
         except Exception as exc:  # noqa: BLE001
             service.startup_error = exc
@@ -345,15 +351,15 @@ def start_warmup(service, lengths, warmup_timeout=None):
     threading.Thread(target=_run_warmup, daemon=True).start()
     if warmup_timeout:
         def _watchdog():
-            # the is_set() re-check narrows the wait-timeout/ready race to
-            # microseconds; a late completion clears the error anyway
-            if (not service.ready.wait(warmup_timeout)
-                    and not service.ready.is_set()
-                    and service.startup_error is None):
-                service.startup_error = WarmupTimeout(
-                    f"warmup still running after {warmup_timeout:.0f}s "
-                    "(wedged accelerator tunnel or cold remote compile); "
-                    "compute endpoints stay 503 until it completes")
+            if not service.ready.wait(warmup_timeout):
+                with guard:
+                    if (not service.ready.is_set()
+                            and service.startup_error is None):
+                        service.startup_error = WarmupTimeout(
+                            f"warmup still running after "
+                            f"{warmup_timeout:.0f}s (wedged accelerator "
+                            "tunnel or cold remote compile); compute "
+                            "endpoints stay 503 until it completes")
 
         threading.Thread(target=_watchdog, daemon=True).start()
 

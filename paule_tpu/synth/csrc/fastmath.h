@@ -66,6 +66,22 @@ inline double fast_exp2_nc(double x) {
   return scale * p;
 }
 
+// Gaussian exp(-0.5 ((x-c)/w)^2) in the branch-free bit-cast form
+// (auto-vectorizes like fast_exp2_nc).  The exponent is floored at -1000
+// (2^-1000 ~ 1e-301, i.e. 0 for every consumer; flushed to exactly 0 under
+// the synthesis loops' FTZ) so arbitrarily distant x — reachable through
+// user speaker files with wide parameter ranges — stays inside
+// fast_exp2_nc's valid domain instead of wrapping the bit-cast exponent
+// into sign-bit garbage.  The clamp if-converts to a max, so the loop
+// still vectorizes.
+inline double fast_gauss_nc(double x, double c, double w) {
+  constexpr double kLog2E = 1.4426950408889634;
+  double z = (x - c) / w;
+  double t = -0.5 * z * z * kLog2E;
+  t = t < -1000.0 ? -1000.0 : t;
+  return fast_exp2_nc(t);
+}
+
 // log2(x) for finite normal x > 0 — bit-cast variant of fast_log2 that
 // auto-vectorizes (identical arithmetic).
 inline double fast_log2_bc(double x) {

@@ -268,8 +268,6 @@ Speaker Speaker::load(const std::string& path, std::string* err) {
 
 namespace {
 
-constexpr double kLog2E = 1.4426950408889634;  // fast_exp's exp->exp2 factor
-
 // rest sagittal distance d(x) and effective width w(x) along the normalized
 // tract axis (0 = glottis, 1 = lips)
 constexpr int kNP = 11;
@@ -418,17 +416,15 @@ void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube) {
 
   for (int i = 0; i < kTubeSections; ++i) {
     const double x = tt.x[i];
-    // tongue constrictions (gaussians with per-call centers); exponents stay
-    // far above fast_exp2's underflow edge, so the branch-free _nc variants
-    // are bit-identical here and the loop if-converts + vectorizes
-    double zb = (x - g.c_body) / 0.12;
-    double zl = (x - g.c_blade) / 0.08;
-    double zt = (x - g.c_tip) / 0.05;
-    double zr = (x - g.c_root) / 0.10;
-    double body = g.a_body * fast_exp2_nc(-0.5 * zb * zb * kLog2E);
-    double blade = g.a_blade * fast_exp2_nc(-0.5 * zl * zl * kLog2E);
-    double tip = g.a_tip * fast_exp2_nc(-0.5 * zt * zt * kLog2E);
-    double root = g.a_root * fast_exp2_nc(-0.5 * zr * zr * kLog2E);
+    // tongue constrictions (gaussians with per-call centers); for the
+    // builtin parameter ranges the exponents stay far above fast_exp2's
+    // underflow edge, so the branch-free gaussians are bit-identical to
+    // the clamped path and the loop if-converts + vectorizes; the helper's
+    // exponent floor keeps user speaker files with wide ranges safe
+    double body = g.a_body * fast_gauss_nc(x, g.c_body, 0.12);
+    double blade = g.a_blade * fast_gauss_nc(x, g.c_blade, 0.08);
+    double tip = g.a_tip * fast_gauss_nc(x, g.c_tip, 0.05);
+    double root = g.a_root * fast_gauss_nc(x, g.c_root, 0.10);
     double dist = tt.base_d[i] -
                   std::max(std::max(body, blade), std::max(tip, root));
     dist -= vs30 * tt.g_velum[i];
@@ -639,8 +635,16 @@ void GlottisState::step_block(int n, double* out) {
     pt -= std::floor(pt);
     pb = std::max(pb, 5e-4);
     pt = std::max(pt, 5e-4);
-    double eb = fast_exp2_nc(skew * fast_log2_bc(pb));
-    double et = fast_exp2_nc(skew * fast_log2_bc(pt));
+    // exponent floored at -1000 (osc contribution ~ 0) so extreme skew
+    // values — reachable through user speaker files widening the PS
+    // range — stay inside fast_exp2_nc's valid domain; if-converts to a
+    // max, the loop still vectorizes
+    double tb = skew * fast_log2_bc(pb);
+    double tt2 = skew * fast_log2_bc(pt);
+    tb = tb < -1000.0 ? -1000.0 : tb;
+    tt2 = tt2 < -1000.0 ? -1000.0 : tt2;
+    double eb = fast_exp2_nc(tb);
+    double et = fast_exp2_nc(tt2);
     double osc_b = fast_sinpi_sq(std::min(eb, 1.0));
     double osc_t = fast_sinpi_sq(std::min(et, 1.0));
     double a = amp_ * (1.0 - 0.5 * dp_ * par[i]);
@@ -899,10 +903,17 @@ void Waveguide::step_block(int n, const double* flows, double* out) {
         nb[i] = bi1 + d;
       }
       if (!nasal_on && --cooldown == 0) {
-        nfbuf_[0].fill(0.0);
-        nfbuf_[1].fill(0.0);
-        nbbuf_[0].fill(0.0);
-        nbbuf_[1].fill(0.0);
+        // clear through the restrict-qualified pointers themselves (they
+        // cover all four buffers between them) — touching the same
+        // storage via the member arrays inside the pointers' scope would
+        // be undefined under restrict semantics and lets the optimizer
+        // reorder the fill against the nf/nb stores above
+        for (int i = 0; i < NN; ++i) {
+          nfwd_[i] = 0.0;
+          nbwd_[i] = 0.0;
+          nf[i] = 0.0;
+          nb[i] = 0.0;
+        }
         nose_lp = 0.0;
       }
     }

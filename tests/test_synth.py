@@ -387,3 +387,35 @@ def test_nasal_energy_decays_after_velum_closes(neutral_cp):
     body = sig[: 80 * 110]
     assert np.sqrt((tail**2).mean()) < 1e-6 * max(
         np.sqrt((body**2).mean()), 1e-12)
+
+
+def test_wide_range_speaker_stays_finite(tmp_path):
+    """User speaker files can widen parameter ranges arbitrarily; extreme
+    articulator/glottis values must degrade gracefully (gaussians -> 0,
+    oscillation -> 0), not wrap the branch-free exp2 bit-cast into
+    sign/exponent garbage (fastmath.h fast_gauss_nc / the skew-exponent
+    floor in GlottisState::step_block)."""
+    sp = tmp_path / "wide.speaker"
+    sp.write_text(
+        "[tract_params]\n"
+        "10 TTX -100000 100000 3.5\n"
+        "[glottis_params]\n"
+        "8 PS -2000 2000 0.0\n")
+    pool = synth.SynthPool(size=1, speaker_path=str(sp))
+    try:
+        n = 41
+        cp = np.tile(np.concatenate([
+            np.asarray([0.5, -4.75, 0.0, -2.0, -0.07, 0.95, 0.0, -0.1,
+                        -0.4, -1.46, 90000.0, -1.0, 2.0, 0.5, 0.0, 0.0,
+                        0.0, 0.0, 0.0]),
+            np.asarray([120.0, 8000.0, 0.02, 0.02, 0.02, 1.5708, 1.0,
+                        0.05, 1500.0, 25.0, -40.0])]), (n, 1))
+        sig, sr = pool.speak(cp)
+        assert np.isfinite(sig).all()
+        assert np.abs(sig).max() < 1e3
+        tube = pool.speak_and_extract_tube_information(cp)[2]
+        areas = np.asarray(tube["tube_area_cm2"])
+        assert np.isfinite(areas).all()
+        assert (areas >= 0).all() and (areas <= 15).all()
+    finally:
+        pool.close()
