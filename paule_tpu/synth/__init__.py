@@ -113,11 +113,24 @@ def get_param_info(which="tract"):
     }
 
 
+def _check_finite(arr, what):
+    """Reject non-finite values at the FFI boundary.  The C core's
+    branch-free fast-math (fastmath.h) assumes finite inputs — a NaN would
+    reach a float->int64 cast (formally UB, flagged by
+    -fsanitize=float-cast-overflow) and come back as NaN audio; failing
+    loudly here keeps the native layer's input contract airtight for
+    direct users (the planner already guards its own trajectories,
+    api._synthesize)."""
+    if not np.isfinite(arr).all():
+        raise ValueError(f"{what} contains non-finite values")
+    return arr
+
+
 def _check_cp(cp_param):
     cp = np.ascontiguousarray(cp_param, dtype=np.float64)
     if cp.ndim != 2 or cp.shape[1] != N_CP:
         raise ValueError(f"cp_param must be (seq, {N_CP}), got {cp.shape}")
-    return cp
+    return _check_finite(cp, "cp_param")
 
 
 def speak(cp_param):
@@ -216,7 +229,8 @@ def speak_and_extract_tube_information(cp_param):
 def tract_to_tube(tract_params):
     """Single-frame tube extraction from 19 tract params."""
     lib = _default()
-    tract = np.ascontiguousarray(tract_params, dtype=np.float64)
+    tract = _check_finite(
+        np.ascontiguousarray(tract_params, dtype=np.float64), "tract_params")
     dptr = ctypes.POINTER(ctypes.c_double)
     iptr = ctypes.POINTER(ctypes.c_int)
     tl = np.zeros(N_TUBE_SECTIONS)
@@ -243,11 +257,15 @@ def synthesis_add_tube(n_samples, tube_areas, glottis, *, tube_lengths=None,
     areas = np.ascontiguousarray(tube_areas, dtype=np.float64)
     if areas.shape != (N_TUBE_SECTIONS,):
         raise ValueError(f"tube_areas must be ({N_TUBE_SECTIONS},)")
+    _check_finite(areas, "tube_areas")
     if tube_lengths is None:
         lengths = np.full(N_TUBE_SECTIONS, 16.0 / N_TUBE_SECTIONS)
     else:
-        lengths = np.ascontiguousarray(tube_lengths, dtype=np.float64)
-    gl = np.ascontiguousarray(glottis, dtype=np.float64)
+        lengths = _check_finite(
+            np.ascontiguousarray(tube_lengths, dtype=np.float64),
+            "tube_lengths")
+    gl = _check_finite(
+        np.ascontiguousarray(glottis, dtype=np.float64), "glottis")
     audio = np.zeros(max(n_samples, 1), dtype=np.float64)
     dptr = ctypes.POINTER(ctypes.c_double)
     failure = lib.pts_synthesis_add_tube(
@@ -263,7 +281,8 @@ def get_transfer_function(tract_params, n_points=1024):
     """Vocal-tract transfer function (magnitude, phase) at ``n_points``
     frequency bins up to Nyquist."""
     lib = _default()
-    tract = np.ascontiguousarray(tract_params, dtype=np.float64)
+    tract = _check_finite(
+        np.ascontiguousarray(tract_params, dtype=np.float64), "tract_params")
     mag = np.zeros(n_points)
     ph = np.zeros(n_points)
     dptr = ctypes.POINTER(ctypes.c_double)

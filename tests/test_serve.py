@@ -340,3 +340,13 @@ def test_warmup_no_watchdog_by_default_disable(monkeypatch):
     while not service.ready.is_set() and time.time() < deadline:
         time.sleep(0.02)
     assert service.ready.is_set() and service.startup_error is None
+
+
+def test_synthesize_rejects_non_finite_cp(server):
+    cp = np.zeros((10, 30))
+    cp[3, 5] = np.nan
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/synthesize",
+              {"cp": serve.encode_array(cp), "normalized": False})
+    assert e.value.code == 400
+    assert "non-finite" in e.value.read().decode()

@@ -419,3 +419,18 @@ def test_wide_range_speaker_stays_finite(tmp_path):
         assert (areas >= 0).all() and (areas <= 15).all()
     finally:
         pool.close()
+
+
+def test_non_finite_cp_rejected():
+    """The FFI boundary rejects non-finite trajectories: the C core's
+    branch-free fast-math assumes finite inputs (a NaN would reach a
+    float->int64 cast and surface as NaN audio)."""
+    cp = np.zeros((5, 30))
+    cp[2, 8] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        synth.speak(cp)
+    cp[2, 8] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        synth.speak_and_extract_tube_information(cp)
+    with pytest.raises(ValueError, match="non-finite"):
+        synth.get_transfer_function(np.full(19, np.nan), 16)
