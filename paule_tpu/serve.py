@@ -244,11 +244,13 @@ def make_server(service, host="127.0.0.1", port=8750):
         def log_message(self, *args):  # quiet by default
             pass
 
-        def _send(self, code, obj):
+        def _send(self, code, obj, headers=None):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for name, value in (headers or {}).items():
+                self.send_header(name, value)
             self.end_headers()
             self.wfile.write(body)
 
@@ -299,13 +301,8 @@ def make_server(service, host="127.0.0.1", port=8750):
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except ServiceBusy as exc:
-                self.send_response(429)
-                body = json.dumps({"error": str(exc)}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.send_header("Retry-After", "30")
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(429, {"error": str(exc)},
+                           headers={"Retry-After": "30"})
             except (KeyError, ValueError, TypeError) as exc:
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
             except Exception as exc:  # noqa: BLE001

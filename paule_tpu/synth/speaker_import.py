@@ -68,6 +68,8 @@ def parse_vtl_speaker(path):
         raise ValueError(f"{path}: not a VTL speaker file "
                          "(no <vocal_tract_model>)")
     anatomy = vt.find("anatomy")
+    if anatomy is None:
+        raise ValueError(f"{path}: <vocal_tract_model> has no <anatomy>")
 
     def param_rows(parent):
         rows = []
@@ -93,12 +95,20 @@ def parse_vtl_speaker(path):
     if gms is None:
         raise ValueError(f"{path}: no <glottis_models>")
     models = gms.findall("glottis_model")
+    if not models:
+        raise ValueError(f"{path}: <glottis_models> is empty")
     selected = next((m for m in models if m.get("selected") == "1"),
                     models[0])
-    glottis_params = param_rows(selected.find("control_params"))
+    control = selected.find("control_params")
+    static = selected.find("static_params")
+    if control is None or static is None:
+        missing = ("control_params" if control is None else "static_params")
+        raise ValueError(
+            f"{path}: selected glottis model "
+            f"'{selected.get('type', '?')}' has no <{missing}>")
+    glottis_params = param_rows(control)
     glottis_static = {p.get("name"): float(p.get("neutral"))
-                      for p in selected.find("static_params")
-                      .findall("param")}
+                      for p in static.findall("param")}
     glottis_shapes = {}
     gshapes = selected.find("shapes")
     if gshapes is not None:

@@ -123,3 +123,35 @@ def test_imported_phones_drive_seg_to_cps(tmp_path):
         assert np.abs(sig).max() > 1e-5
     finally:
         synth.initialize()
+
+
+def test_malformed_xml_reports_missing_element(tmp_path):
+    """Structurally broken speaker XMLs raise ValueError naming the missing
+    element instead of an AttributeError traceback (CLI-facing path)."""
+    cases = {
+        "no_anatomy.speaker": (
+            "<speaker><vocal_tract_model></vocal_tract_model>"
+            "<glottis_models><glottis_model type='g'>"
+            "<control_params/><static_params/></glottis_model>"
+            "</glottis_models></speaker>",
+            "anatomy"),
+        "empty_glottis.speaker": (
+            "<speaker><vocal_tract_model><anatomy/></vocal_tract_model>"
+            "<glottis_models></glottis_models></speaker>",
+            "glottis_models"),
+        "no_control.speaker": (
+            "<speaker><vocal_tract_model><anatomy/></vocal_tract_model>"
+            "<glottis_models><glottis_model type='Geometric glottis'>"
+            "<static_params/></glottis_model></glottis_models></speaker>",
+            "control_params"),
+        "no_static.speaker": (
+            "<speaker><vocal_tract_model><anatomy/></vocal_tract_model>"
+            "<glottis_models><glottis_model type='Geometric glottis'>"
+            "<control_params/></glottis_model></glottis_models></speaker>",
+            "static_params"),
+    }
+    for fname, (xml, needle) in cases.items():
+        f = tmp_path / fname
+        f.write_text(xml)
+        with pytest.raises(ValueError, match=needle):
+            speaker_import.parse_vtl_speaker(f)
