@@ -1529,7 +1529,20 @@ class Paule:
         if self.continue_data.data is not None or frame_cache:
             # an empty buffer discards appends (reference quirk, see
             # ReplayBuffer.append) — skip building the frame entirely then
-            self.continue_data.append(produced_frame())
+            if defer and not frame_cache:
+                # a seeded replay buffer would otherwise force
+                # produced_frame() -> deferred_metrics.host() HERE, blocking
+                # on the produced-mel fetch this deferral exists to hide.
+                # The append only has to land before the NEXT iteration's
+                # sample_training, which runs after flush_deferred — and by
+                # flush time finish_metrics has already filled
+                # seg_logs_ii['prod_mel'], so the frame builds fetch-free.
+                def _append_late():
+                    self.continue_data.append(produced_frame())
+                    return ()
+                pending.append(([], _append_late))
+            else:
+                self.continue_data.append(produced_frame())
         return pending
 
     def plan_iterative(self, *, target_acoustic=None, target_semvecs=None,

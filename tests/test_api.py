@@ -224,6 +224,41 @@ def test_defer_metrics_fetch_exact(target):
     assert p1._py_rng.getstate() == p2._py_rng.getstate()
 
 
+def test_defer_metrics_fetch_exact_deferred_append(target):
+    """Seeded replay buffer WITHOUT add_training_data: the replay-buffer
+    append is the only consumer of the produced frame, so it rides in the
+    deferred flush (api._continue_learning) instead of blocking on the
+    produced-mel fetch at dispatch time.  Results, buffer contents and RNG
+    stream stay bit-identical to the blocking order."""
+    import pandas as pd
+    kw = dict(target_acoustic=target, objective="acoustic_semvec",
+              initialize_from="acoustic", continue_learning=True,
+              n_outer=2, n_inner=6, log_ii=2, n_batches=1, batch_size=2,
+              n_epochs=1, add_training_data_pred=False,
+              add_training_data_inv=False, verbose=False)
+    continue_data = pd.DataFrame(
+        {"vector": [np.zeros(300)] * 4,
+         "cp_norm": [np.zeros((8, 30))] * 4,
+         "melspec_norm_synthesized": [np.zeros((4, 60))] * 4,
+         "tube_norm": [None] * 4,
+         "segment_data": [True] * 4})
+    p1 = Paule(seed=11, continue_data=continue_data.copy())
+    p1.defer_metrics_fetch = False
+    r1 = p1.plan_resynth(**kw)
+    p2 = Paule(seed=11, continue_data=continue_data.copy())
+    assert p2.defer_metrics_fetch  # the default
+    r2 = p2.plan_resynth(**kw)
+    np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)
+    np.testing.assert_array_equal(r1.prod_loss_steps, r2.prod_loss_steps)
+    np.testing.assert_array_equal(r1.pred_model_loss, r2.pred_model_loss)
+    # both orders appended this run's produced rows (4 seed + 2 outera * 3)
+    assert len(p1.continue_data) == len(p2.continue_data) == 4 + 2 * 3
+    np.testing.assert_array_equal(
+        np.stack(list(p1.continue_data.data["melspec_norm_synthesized"])[-3:]),
+        np.stack(list(p2.continue_data.data["melspec_norm_synthesized"])[-3:]))
+    assert p1._py_rng.getstate() == p2._py_rng.getstate()
+
+
 def test_plan_overlap_exact(target):
     """plan_overlap=True (chunked scan dispatch, synthesis overlapped with
     device planning) is numerically EXACT vs the single-scan path: the
