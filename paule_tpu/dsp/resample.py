@@ -48,9 +48,25 @@ def kaiser_best_window():
     return sinc_part * taper
 
 
-def _resample_kaiser_best(x, sr_orig, sr_new):
+def _resample_kaiser_best(x, sr_orig, sr_new, time_semantics="div"):
     """resampy ``resample(x, sr_orig, sr_new, filter='kaiser_best')`` —
-    vectorized two-wing sinc interpolation with table linear interpolation."""
+    vectorized two-wing sinc interpolation with table linear interpolation.
+
+    ``time_semantics`` selects the floating-point expression for the output
+    sample's time register, the ONE place resampy generations differ:
+
+    * ``"div"`` — ``t / ratio`` (ours; also what an exact rational register
+      rounds to per-sample),
+    * ``"mul"`` — ``t * (1.0 / ratio)`` (resampy 0.4.x precomputes
+      ``arange(n) * time_increment``),
+    * ``"accum"`` — running ``time_register += 1.0 / ratio`` (resampy
+      0.2.x's scalar loop).
+
+    The variants differ by last-ulp rounding, which can flip the
+    ``int(time_register)`` truncation at rational-ratio integer boundaries;
+    the interpolation formula is continuous across that flip, so the output
+    ambiguity is tiny — measured and pinned in
+    ``tests/test_dsp_golden.py::test_time_register_ambiguity_band``."""
     x = np.asarray(x, dtype=np.float64)
     ratio = float(sr_new) / float(sr_orig)
     n_orig = x.shape[0]
@@ -82,9 +98,23 @@ def _resample_kaiser_best(x, sr_orig, sr_new):
         xs = x[np.clip(x_idx, 0, n_orig - 1)]
         return np.where(valid, w * xs, 0.0).sum(axis=1)
 
+    if time_semantics == "mul":
+        all_regs = np.arange(n_out, dtype=np.float64) * (1.0 / ratio)
+    elif time_semantics == "accum":
+        # the scalar loop's running sum: cumsum of a constant increment
+        # reproduces repeated ``+=`` exactly only sample by sample, so do it
+        # the slow exact way (this path exists for the ambiguity test)
+        all_regs = np.empty(n_out, dtype=np.float64)
+        reg, inc = 0.0, 1.0 / ratio
+        for i in range(n_out):
+            all_regs[i] = reg
+            reg += inc
+    else:
+        all_regs = None  # "div": computed per block below
+
     for start in range(0, n_out, _BLOCK):
         t = np.arange(start, min(start + _BLOCK, n_out))
-        time_register = t / ratio
+        time_register = t / ratio if all_regs is None else all_regs[t]
         n = time_register.astype(np.int64)
 
         frac = scale * (time_register - n)

@@ -13,7 +13,13 @@ librosa front-end (/root/reference/paule/util.py:115-120):
   Kaiser beta 14.769656459379492, rolloff 0.9475937167399596), written as
   the plain per-output-sample double loop.  The production implementation
   (``paule_tpu.dsp.resample``) is an independent block-vectorized rewrite;
-  matching outputs guard the vectorization.
+  matching outputs guard the vectorization.  Caveat: the transcription
+  necessarily shares ONE floating-point expression with production — the
+  output-sample time register (``t / ratio``) — the single expression
+  resampy generations themselves disagree on.  That aspect is therefore
+  pinned separately by measuring the spread across all three published
+  register semantics
+  (``tests/test_dsp_golden.py::test_time_register_ambiguity_band``).
 
 Run from the repo root::
 

@@ -77,3 +77,40 @@ def test_silence_anchor_value(golden):
     assert normalize.mel_mean == pytest.approx(anchor, abs=1e-10)
     got = np.asarray(melspec_44100(np.zeros(5000), dtype=np.float64))
     assert got[0, 0] == pytest.approx(anchor, abs=1e-8)
+
+
+def test_time_register_ambiguity_band():
+    """The ONE place resampy generations disagree is the floating-point
+    expression for the output-sample time register (resample.py docstring).
+    Our default ("div", t/ratio) matches the modern resampy 0.4.x
+    precomputed register ("mul", t * (1/ratio)) to ulp level end to end;
+    the ancient resampy 0.2.x running sum ("accum") drifts by n*ulp and
+    flips int() truncations at rational-ratio boundaries, spanning a small
+    measured band — itself a resampy-VERSION difference real librosa users
+    see, not a deviation specific to us.  Pin both bounds so a regression
+    in the wing arithmetic can't hide behind the ambiguity story."""
+    from paule_tpu.dsp.resample import _resample_kaiser_best
+
+    rng = np.random.default_rng(42)
+    worst_mul, worst_accum, worst_accum_norm = 0.0, 0.0, 0.0
+    for sr in (16000, 48000):  # 48k->44.1k is the worst observed case
+        n = sr  # 1 s
+        t = np.arange(n) / sr
+        for x in (rng.normal(0, 0.1, n),
+                  0.4 * np.sin(2 * np.pi * 120 * t)
+                  * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))):
+            outs = {s: _resample_kaiser_best(x, sr, 44100, time_semantics=s)
+                    for s in ("div", "mul", "accum")}
+            worst_mul = max(worst_mul,
+                            np.abs(outs["div"] - outs["mul"]).max())
+            worst_accum = max(worst_accum,
+                              np.abs(outs["div"] - outs["accum"]).max())
+            mels = {s: np.asarray(librosa_melspec(
+                np.pad(o, (0, (-len(o)) % 220)), 44100))
+                for s, o in outs.items()}
+            worst_accum_norm = max(worst_accum_norm, np.abs(
+                np.asarray(normalize.normalize_mel(mels["div"]))
+                - np.asarray(normalize.normalize_mel(mels["accum"]))).max())
+    assert worst_mul < 1e-10          # modern resampy: exact to ulp noise
+    assert worst_accum < 1.5e-3       # 0.2.x running-sum drift band (signal)
+    assert worst_accum_norm < 5e-3    # ...and its normalized-mel effect
