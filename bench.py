@@ -25,10 +25,14 @@ legs report the final produced mel loss (MEL_WEIGHT * RMSE(produced_mel,
 target_mel) — identical formulas: reference paule.py:1112-1114, ours
 api.py).
 
-Timing: ours is measured hot at the full default budget (n_outer=10); the
-reference leg is measured over PARITY_OUTER full outer iterations (complete
-inner loop with synthesis every step + continue-learning) and scaled
-linearly to n_outer=10 (per-outer cost is constant by construction).
+Timing: host-throttle/tunnel noise moves single runs ~2x on this box, so
+BOTH legs are min-damped.  Ours: best of two full hot runs at the default
+budget (n_outer=10).  Reference: min per-outer-iteration wall-clock over
+PARITY_OUTER full outer iterations (complete inner loop with synthesis
+every step + continue-learning; per-outer cost is constant by
+construction) x 10 — the finer-grained min strips more noise from the
+reference leg than the whole-run min strips from ours, keeping the
+headline conservative.
 NOTE the host has few CPU cores (1 in the dev environment) — torch gets
 `os.cpu_count()` threads and the thread count is recorded in the detail;
 on a many-core host the reference leg would be a few times faster.
@@ -102,9 +106,32 @@ def convert_params(fwd, emb):
             TC.convert("embedder", emb.state_dict()))
 
 
+class _LapTqdm:
+    """Stands in for paule.paule's module-global ``tqdm`` during the
+    reference leg: iterates like ``tqdm(range(n_outer))`` and records each
+    outer iteration's wall-clock, so the reference gets the same
+    noise-damping min treatment as our best-of-2 (min over per-outer laps
+    is, if anything, MORE favorable to the reference: a finer-grained min
+    strips throttle spikes a whole-run min would keep)."""
+
+    laps = []
+
+    def __init__(self, iterable, **kwargs):
+        self._iterable = iterable
+
+    def __iter__(self):
+        t = time.perf_counter()
+        for x in self._iterable:
+            yield x
+            now = time.perf_counter()
+            type(self).laps.append(now - t)
+            t = now
+
+
 def bench_reference(target, models, init_cp, n_outer, *, plant="ours"):
     """One timed run of the reference's own plan_resynth (real code,
-    continue-learning on).  Returns (wall_s, final_prod_loss).
+    continue-learning on).  Returns (wall_s, min_outer_lap_s,
+    final_prod_loss).
 
     ``plant`` selects the synthesizer the reference plans through:
 
@@ -150,6 +177,8 @@ def bench_reference(target, models, init_cp, n_outer, *, plant="ours"):
                     cp_gen_model=cp_gen, mel_gen_model=mel_gen,
                     device=torch.device("cpu"))
     sig, sr = target
+    P.tqdm = _LapTqdm  # record per-outer-iteration wall-clock
+    _LapTqdm.laps = []
     t0 = time.perf_counter()
     r = model.plan_resynth(
         target_acoustic=(sig, float(sr)), objective="acoustic_semvec",
@@ -160,7 +189,9 @@ def bench_reference(target, models, init_cp, n_outer, *, plant="ours"):
         n_epochs=N_EPOCHS, continue_learning=True, verbose=False,
         plot=False)
     dt = time.perf_counter() - t0
-    return dt, float(r.prod_loss_steps[-1])
+    laps = list(_LapTqdm.laps)
+    min_lap = min(laps) if laps else dt / max(n_outer, 1)
+    return dt, min_lap, float(r.prod_loss_steps[-1])
 
 
 def make_paule(params_fwd, params_emb):
@@ -248,7 +279,7 @@ def main():
     stage(f"reference leg: the reference's own plan_resynth (our synth "
           f"injected as its plant), {PARITY_OUTER} outer iterations "
           "(~4 min each on a 1-core host)...")
-    t_ref_parity, loss_ref = bench_reference(
+    t_ref_parity, t_ref_min_lap, loss_ref = bench_reference(
         target, models, init_cp, PARITY_OUTER, plant="ours")
 
     vtl_extra = None
@@ -265,7 +296,7 @@ def main():
         # fresh seeded models: the 'ours'-plant leg above trained its
         # models in place (continue-learning), so reusing them would start
         # this leg from mutated weights
-        t_vtl, loss_vtl = bench_reference(
+        t_vtl, _, loss_vtl = bench_reference(
             vtl_target, make_reference_models(),
             np.zeros((2 * n_mel_v, 30)), PARITY_OUTER, plant="vtl")
         vtl_extra = {
@@ -277,10 +308,11 @@ def main():
         }
 
     # ---- timing at the full default budget (n_outer=10) ----
-    # best of two hot runs: host-throttle/tunnel noise moves single runs
-    # ~2x on this box; the min is the reproducible number (the torch leg is
-    # equally hot — it runs after its own models/plant warmed — and its
-    # per-outer cost is constant, so min-vs-scaled stays apples-to-apples)
+    # host-throttle/tunnel noise moves single runs ~2x on this box, so BOTH
+    # legs get a min treatment: ours = best of two full hot runs, the
+    # reference = min per-outer lap x 10 (recorded inside its own tqdm loop;
+    # the finer-grained min strips MORE noise from the reference than the
+    # whole-run min strips from ours, so the headline is conservative)
     stage("timing run (ours, full default budget, best of 2)...")
     p3 = make_paule(params_fwd, params_emb)  # fresh weights
     run_ours(p3, target, init_cp, 1)  # warm this instance's compiles
@@ -290,7 +322,7 @@ def main():
         run_ours(p3, target, init_cp, FULL_OUTER)
         t_ours_runs.append(time.perf_counter() - t0)
     t_ours_full = min(t_ours_runs)
-    t_ref_full = t_ref_parity * (FULL_OUTER / PARITY_OUTER)
+    t_ref_full = t_ref_min_lap * FULL_OUTER
 
     speedup = t_ref_full / t_ours_full
     rel = abs(loss_ours - loss_ref) / max(abs(loss_ref), 1e-9)
@@ -308,10 +340,13 @@ def main():
             "t_ours_s": round(t_ours_full, 3),
             "t_reference_s": round(t_ref_full, 3),
             "t_reference_measured_s": round(t_ref_parity, 3),
-            "reference_timing": f"measured over {PARITY_OUTER} full outer "
-                                f"iterations of /root/reference/paule/"
-                                f"paule.py:391, scaled x{FULL_OUTER}/"
-                                f"{PARITY_OUTER}",
+            "t_reference_min_outer_lap_s": round(t_ref_min_lap, 3),
+            "reference_timing": f"min per-outer-iteration wall over "
+                                f"{PARITY_OUTER} full outer iterations of "
+                                f"/root/reference/paule/paule.py:391, "
+                                f"x{FULL_OUTER}; ours is min of 2 full hot "
+                                f"runs — both legs min-damped against the "
+                                f"~2x host-throttle noise",
             "reference_torch_threads": os.cpu_count() or 1,
             "thread_note": "reference leg uses torch with all host cores; "
                            "this host has few cores, a many-core host "
