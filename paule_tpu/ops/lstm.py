@@ -70,8 +70,10 @@ def lstm_layer_params(rng, input_size, hidden_size, dtype=jnp.float32):
 def lstm_layer(params, x, h0=None, c0=None):
     """One LSTM layer over (B, T, in) -> (output (B, T, H), (h_T, c_T))."""
     if pallas_enabled():
-        from .pallas_lstm import lstm_layer_pallas
-        return lstm_layer_pallas(params, x, h0, c0)
+        from .pallas_lstm import feasible, lstm_layer_pallas
+        if feasible(x.shape[1], x.shape[0], params["w_hh"].shape[0]):
+            return lstm_layer_pallas(params, x, h0, c0)
+        # shape too large for the fused kernels' scoped VMEM: scan path
     w_ih, w_hh, b = params["w_ih"], params["w_hh"], params["b"]
     batch, _seq, _ = x.shape
     hidden = w_hh.shape[0]

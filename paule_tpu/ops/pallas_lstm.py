@@ -42,21 +42,65 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = os.environ.get("PAULE_TPU_PALLAS", "") == "interpret"
 
 
-def _pick_chunk(seq_len, batch, hidden, *, budget_bytes=6 * 1024 * 1024):
-    """Time-chunk size so the streamed blocks (double-buffered) fit VMEM
-    alongside the resident W_hh.
+#: Mosaic's default scoped-VMEM budget; chunk-7 at B=25/H=720 overflowed it
+#: by ~1 MiB (compile-time stack OOM), which calibrates ``_TEMP_GATE_ROWS``
+#: + ``_SLACK`` below.
+_DEFAULT_SCOPED = 16 * 1024 * 1024
+#: ceiling when the residency alone needs a raised ``vmem_limit_bytes``
+#: (v5e has 128 MiB of VMEM; leave headroom for XLA's own buffers)
+_MAX_SCOPED = 96 * 1024 * 1024
+#: loop-body staging measured in gate-row (B x 4H f32) units: the B=25
+#: failure implies ~11.7 MB of fixed residency beyond the streamed blocks —
+#: W_hh (8.3 MB) + carries + about eight gate-row temporaries
+_TEMP_GATE_ROWS = 8
+_SLACK = 2 * 1024 * 1024
 
-    The kernel's scoped-VMEM *stack* also holds W_hh (H x 4H f32 — 8.3 MB
-    at H=720) and the loop-body gate temporaries, which scale with the
-    batch: at B=25/H=720 a chunk of 7 overflowed the 16 MiB scoped limit
-    by ~1 MB (Mosaic stack OOM at compile time), so batches beyond one
-    8-sublane tile get half the streaming budget."""
-    per_step = batch * hidden * 4 * (4 + 1 + 1)  # gates + hs + cs, f32
-    if batch > 8:
-        budget_bytes //= 2
-    chunk = max(1, budget_bytes // (2 * per_step))
-    chunk = min(chunk, seq_len, 128)
-    return int(chunk)
+#: f32 words streamed per (batch row, hidden lane, time step):
+#: fwd = gates in (4H) + hs/cs out (2H); bwd = acts in (4H) + cs_prev/ghs
+#: in (2H) + dgates out (4H)
+FWD_WORDS = 6
+BWD_WORDS = 10
+
+
+def _vmem_plan(seq_len, batch, hidden, streamed_words):
+    """(time-chunk, vmem_limit_bytes | None) from the kernel's actual
+    scoped-VMEM residency, instead of a per-shape special case:
+
+    * resident: W_hh (H x 4H f32) + h0/c0 blocks + (h, c) scratch;
+    * temporaries: ~``_TEMP_GATE_ROWS`` gate-row-sized loop-body arrays
+      (scales with batch AND hidden — the old ``batch > 8`` halving missed
+      the hidden scaling and over-throttled small-hidden batches);
+    * streaming: ``chunk * streamed_words * B * H`` f32, double-buffered.
+
+    Returns ``(None, None)`` when even a 1-step chunk cannot fit under
+    ``_MAX_SCOPED`` — the caller falls back to the `lax.scan` path."""
+    f32 = 4
+    resident = 4 * hidden * hidden * f32 + 6 * batch * hidden * f32
+    temps = _TEMP_GATE_ROWS * batch * 4 * hidden * f32
+    fixed = resident + temps + _SLACK
+    per_step = streamed_words * batch * hidden * f32
+    limit = None  # Mosaic default
+    if fixed + 2 * per_step > _DEFAULT_SCOPED:
+        # large hidden/batch: raise the scoped budget to fit the residency
+        # plus a useful amount of streaming (>= 4 double-buffered steps)
+        limit = min(_MAX_SCOPED,
+                    -(-(fixed + 8 * per_step) // (1 << 20)) << 20)
+        if fixed + 2 * per_step > limit:
+            return None, None
+    chunk = max(1, ((limit or _DEFAULT_SCOPED) - fixed) // (2 * per_step))
+    return int(min(chunk, seq_len, 128)), limit
+
+
+def feasible(seq_len, batch, hidden):
+    """True when the fused kernels (incl. the wider-streaming backward)
+    fit scoped VMEM for this shape; callers use the scan path otherwise."""
+    return _vmem_plan(seq_len, batch, hidden, BWD_WORDS)[0] is not None
+
+
+def _compiler_params(limit):
+    if limit is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(limit))
 
 
 def _fwd_kernel(gates_ref, whh_ref, h0_ref, c0_ref, hs_ref, cs_ref,
@@ -170,7 +214,12 @@ def lstm_core(gates_x, w_hh, h0, c0):
 def _lstm_core_fwd_impl(gates_x, w_hh, h0, c0):
     seq_len, batch, four_h = gates_x.shape
     hidden = four_h // 4
-    chunk = _pick_chunk(seq_len, batch, hidden)
+    chunk, vmem_limit = _vmem_plan(seq_len, batch, hidden, FWD_WORDS)
+    if chunk is None:
+        raise ValueError(
+            f"fused LSTM kernel infeasible at B={batch}, H={hidden} "
+            "(scoped-VMEM residency); guard calls with "
+            "pallas_lstm.feasible() and use the lax.scan path")
     gates_p, padded = _pad_time(gates_x, chunk)
     grid = padded // chunk
 
@@ -201,6 +250,7 @@ def _lstm_core_fwd_impl(gates_x, w_hh, h0, c0):
             pltpu.VMEM((batch, hidden), jnp.float32),
             pltpu.VMEM((batch, hidden), jnp.float32),
         ],
+        compiler_params=_compiler_params(vmem_limit),
         interpret=INTERPRET,
     )(gates_p, w_hh, h0, c0)
     return hs[:seq_len], cs[:seq_len]
@@ -228,7 +278,10 @@ def _lstm_core_bwd(res, cts):
          jnp.tanh(gates_pre[..., 2 * hidden:3 * hidden]),
          jax.nn.sigmoid(gates_pre[..., 3 * hidden:])], axis=-1)
 
-    chunk = _pick_chunk(seq_len, batch, hidden)
+    chunk, vmem_limit = _vmem_plan(seq_len, batch, hidden, BWD_WORDS)
+    if chunk is None:  # pragma: no cover — feasible() gates the fwd call
+        raise ValueError(
+            f"fused LSTM backward infeasible at B={batch}, H={hidden}")
     acts_p, padded = _pad_time(acts, chunk)
     cs_prev_p, _ = _pad_time(cs_prev, chunk)
     ghs_p, _ = _pad_time(ghs, chunk)
@@ -265,6 +318,7 @@ def _lstm_core_bwd(res, cts):
             pltpu.VMEM((batch, hidden), jnp.float32),
             pltpu.VMEM((batch, hidden), jnp.float32),
         ],
+        compiler_params=_compiler_params(vmem_limit),
         interpret=INTERPRET,
     )(acts_p, cs_prev_p, ghs_p, w_hh)
     dgates = dgates[:seq_len]

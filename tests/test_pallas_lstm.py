@@ -13,13 +13,17 @@ import jax.numpy as jnp
 from paule_tpu.ops import lstm as LS
 from paule_tpu.ops import pallas_lstm as PL
 
+# captured before the autouse fixture monkeypatches it per-test
+_REAL_VMEM_PLAN = PL._vmem_plan
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
     monkeypatch.setattr(PL, "INTERPRET", True)
     # force multi-chunk grids + padding even at tiny sizes
-    monkeypatch.setattr(PL, "_pick_chunk",
-                        lambda seq, batch, hidden, **kw: min(4, seq))
+    monkeypatch.setattr(PL, "_vmem_plan",
+                        lambda seq, batch, hidden, words: (min(4, seq),
+                                                           None))
 
 
 def _params(hidden=8, inp=5, seed=0):
@@ -68,3 +72,30 @@ def test_initial_state_passthrough():
     y_pal, _ = PL.lstm_layer_pallas(p, x, h0, c0)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_pal),
                                atol=1e-5)
+
+
+def test_vmem_plan_residency_model():
+    """_vmem_plan sizes chunks from the actual scoped-VMEM residency:
+    validated on the real chip across (B,H) in {(1,720),(8,720),(25,720),
+    (9,180),(1,1440),(4,1440)} (tools/pallas_on_device.py r03); this pins
+    the model's shape so a regression to per-shape special cases shows."""
+    plan = _REAL_VMEM_PLAN
+    # planning shape: full streaming chunk, default scoped budget
+    c, lim = plan(402, 1, 720, PL.FWD_WORDS)
+    assert c == 128 and lim is None
+    # the historically-OOMing shape gets a small chunk, still default limit
+    c, lim = plan(402, 25, 720, PL.FWD_WORDS)
+    assert 1 <= c <= 5 and lim is None
+    # backward streams more words per step -> smaller chunk than forward
+    assert (plan(402, 8, 720, PL.BWD_WORDS)[0]
+            < plan(402, 8, 720, PL.FWD_WORDS)[0])
+    # small hidden is NOT throttled by a batch>8 special case
+    assert plan(402, 9, 180, PL.FWD_WORDS)[0] == 128
+    # W_hh beyond the default scoped budget -> raised vmem_limit_bytes
+    c, lim = plan(402, 1, 1440, PL.FWD_WORDS)
+    assert c >= 4 and lim is not None and lim > PL._DEFAULT_SCOPED
+    assert lim <= PL._MAX_SCOPED
+    # absurd residency -> infeasible, callers fall back to the scan path
+    assert _REAL_VMEM_PLAN(402, 64, 4096, PL.BWD_WORDS)[0] is None
+    # the stricter backward streaming still fits the historic OOM shape
+    assert _REAL_VMEM_PLAN(402, 25, 720, PL.BWD_WORDS)[0] >= 1

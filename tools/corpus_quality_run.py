@@ -20,6 +20,9 @@ import sys
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 N_UTT = int(os.environ.get("CORPUS_N", "50"))
 N_OUTER = int(os.environ.get("CORPUS_OUTER", "10"))

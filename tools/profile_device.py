@@ -23,6 +23,9 @@ import sys
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 HIDDEN = 720
 T_CP = 402  # 1 s utterance
