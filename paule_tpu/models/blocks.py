@@ -99,6 +99,24 @@ def batchnorm(params, x, *, use_running_average=True, eps=1e-5):
     return (x - mean) * inv * params["scale"] + params["bias"]
 
 
+def batchnorm_new_stats(params, x, *, momentum=0.1, ):
+    """Running-stat update from a training batch, torch ``BatchNorm1d``
+    semantics: ``running = (1-m)*running + m*batch_stat`` with momentum 0.1
+    and the UNBIASED batch variance (normalization itself uses the biased
+    variance — torch does the same split).  Functional counterpart of the
+    in-place update torch performs on every train-mode forward; training
+    steps adopt the returned stats into the parameter pytree
+    (pretrain.train_gan)."""
+    n = x.shape[0] * x.shape[1]
+    mean = x.mean(axis=(0, 1))
+    var = x.var(axis=(0, 1))
+    unbiased = var * (n / max(n - 1, 1))
+    new = dict(params)
+    new["mean"] = (1.0 - momentum) * params["mean"] + momentum * mean
+    new["var"] = (1.0 - momentum) * params["var"] + momentum * unbiased
+    return new
+
+
 def instancenorm_init(channels, dtype=jnp.float32):
     return {"scale": jnp.ones((channels,), dtype),
             "bias": jnp.zeros((channels,), dtype)}

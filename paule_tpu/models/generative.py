@@ -54,9 +54,18 @@ class Generator:
             groups=self.output_size, dtype=dtype)
         return params
 
-    def apply(self, params, x, length, vector, *, use_running_average=True, **_):
-        """x: noise (B, 1, channel_noise); length: static int; vector (B, 300)."""
+    def apply(self, params, x, length, vector, *, use_running_average=True,
+              collect_stats=False, **_):
+        """x: noise (B, 1, channel_noise); length: static int; vector (B, 300).
+
+        ``collect_stats=True`` (train-mode forwards only) additionally
+        returns the params with each block's batch-norm running stats
+        updated from this batch — the functional equivalent of torch's
+        in-place train-mode update (torch BatchNorm1d, momentum 0.1);
+        training steps adopt them so a from-scratch-trained generator has
+        valid inference statistics."""
         length = int(length)
+        new_blocks = [] if collect_stats else None
         x = jnp.concatenate([x, vector[:, None, :]], axis=2)
         out = B.linear(params["fully_connected"], x)  # (B, 1, fc_size)
         b = out.shape[0]
@@ -71,6 +80,9 @@ class Generator:
             out = B.upsample_linear(out, size_i)
             resid = out
             h = B.conv1d(bp["conv"], out)
+            if collect_stats:
+                new_blocks.append(dict(
+                    bp, bn=B.batchnorm_new_stats(bp["bn"], h)))
             h = B.batchnorm(bp["bn"], h, use_running_average=use_running_average)
             h = B.leaky_relu(h, 0.2)
             if i == 0:
@@ -84,7 +96,10 @@ class Generator:
         resid = out
         out = B.conv1d(params["final_smoothing"], out, groups=self.output_size)
         out = out + resid
-        return jnp.tanh(out)
+        out = jnp.tanh(out)
+        if collect_stats:
+            return out, dict(params, blocks=new_blocks)
+        return out
 
     def __call__(self, params, x, length, vector, **kw):
         return self.apply(params, x, length, vector, **kw)

@@ -151,9 +151,11 @@ def criterion(models, xx, target_mel, target_semvec, *, objective,
     if use_speech_classifier:
         total = total + sc_w
     if use_somatosensory:
-        total = total + tsem_w
-        if objective in ("acoustic", "acoustic_semvec"):
-            total = total + tmel_w
+        # tube_mel enters the total for EVERY objective (the reference's
+        # semvec+somatosensory criterion also scores pred_tube_mel against
+        # target_mel, /root/reference/paule/paule.py:744,755 — target_mel
+        # always exists, generated from the semvec when not given)
+        total = total + tsem_w + tmel_w
 
     subs = SubLosses(total, mel_w, sem_w, vel_w, jerk_w, ll_w, sc_w,
                      tmel_w, tsem_w)
@@ -192,12 +194,23 @@ def _segment_scan(params_dynamic, models_static, xx, opt_state, xx_init,
     models = models_static._replace(**params_dynamic)
     opt = optax.adam(lr)
 
+    # When the semvec is logged but NOT in the loss (objective='acoustic'
+    # with log_semantics), the embedder forward inside the scan runs every
+    # inner step while only the sliced log steps are kept (the reference
+    # computes pred_semvec at logged steps only, paule.py:953-957).  With a
+    # dropout-free embedder (the shipped default) its output is
+    # rng-independent, so one batched apply on the sliced pred_mel logs
+    # after the scan is bit-identical and ~log_every x cheaper.
+    want_semvec_loss = objective in ("semvec", "acoustic_semvec")
+    emb_post = (log_semantics and not want_semvec_loss
+                and getattr(models.embedder, "dropout", 0.0) == 0.0)
+
     def loss_fn(x, step_rng):
         total, aux = criterion(
             models, x, target_mel, target_semvec, objective=objective,
             use_speech_classifier=use_speech_classifier,
             use_somatosensory=use_somatosensory,
-            log_semantics=log_semantics, rng=step_rng)
+            log_semantics=log_semantics and not emb_post, rng=step_rng)
         return total, aux
 
     def step(carry, step_rng):
@@ -220,6 +233,13 @@ def _segment_scan(params_dynamic, models_static, xx, opt_state, xx_init,
         n_logged = rngs.shape[0] // log_every
         idx = jnp.arange(n_logged) * log_every + (log_every - 1)
         logs = jax.tree.map(lambda a: a[idx], logs)
+    if emb_post:
+        pm = logs["pred_mel"]  # (L, B, T_mel, 60)
+        flat = pm.reshape((pm.shape[0] * pm.shape[1],) + pm.shape[2:])
+        sem = models.embedder.apply(models.embedder_params, flat, None,
+                                    deterministic=True, rng=None)
+        logs["pred_semvec"] = sem.reshape(
+            (pm.shape[0], pm.shape[1]) + sem.shape[1:])
     return xx_out, opt_state, logs
 
 

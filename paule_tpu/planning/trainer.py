@@ -191,8 +191,6 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
     compile into scans over on-device index gathers — contiguous runs of
     equal batch size become one dispatch each, instead of one dispatch (and
     one host round-trip) per batch."""
-    import jax
-
     inps = list(inps)
     tgts = list(tgts)
     lens_in = np.asarray(lens_in)
@@ -250,8 +248,6 @@ def _train_epochs_same_len(trainer, all_in, all_out, epoch_batches,
     bounded by the number of distinct batch sizes — not by random run
     boundaries.  Within an epoch, full batches run before leftovers (a
     reordering of SGD steps; the epoch's batch order is random anyway)."""
-    import jax
-
     full_per_epoch = [[np.asarray(b, dtype=np.int32)
                        for b in ep if len(b) == batch_size]
                       for ep in epoch_batches]

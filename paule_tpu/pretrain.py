@@ -214,9 +214,22 @@ def train_gan(generator, gen_params, critic, critic_params, corpus, *,
         return wdist + gp_weight * gp
 
     def gen_loss_fn(gp_, cp_, noise, vec, length):
-        fake = generator.apply(gp_, noise, length, vec,
-                               use_running_average=False)
-        return -jnp.mean(critic.apply(cp_, fake, length, vec))
+        fake, gp_stats = generator.apply(gp_, noise, length, vec,
+                                         use_running_average=False,
+                                         collect_stats=True)
+        return -jnp.mean(critic.apply(cp_, fake, length, vec)), gp_stats
+
+    def _adopt_bn_stats(gp_, gp_stats):
+        """Copy the train-forward's refreshed batch-norm running stats into
+        the (optimizer-updated) generator params — torch updates them
+        in place on EVERY train-mode forward, so both the critic and the
+        generator steps adopt them."""
+        blocks = [dict(bp, bn=dict(
+            bp["bn"],
+            mean=jax.lax.stop_gradient(sp["bn"]["mean"]),
+            var=jax.lax.stop_gradient(sp["bn"]["var"])))
+            for bp, sp in zip(gp_["blocks"], gp_stats["blocks"])]
+        return dict(gp_, blocks=blocks)
 
     import functools
 
@@ -224,20 +237,23 @@ def train_gan(generator, gen_params, critic, critic_params, corpus, *,
     @jax.jit
     def critic_step(cp_, cs_, gp_, real, vec, noise, eps):
         length = real.shape[1]
-        fake = jax.lax.stop_gradient(
-            generator.apply(gp_, noise, length, vec,
-                            use_running_average=False))
+        fake, gp_stats = generator.apply(gp_, noise, length, vec,
+                                         use_running_average=False,
+                                         collect_stats=True)
+        fake = jax.lax.stop_gradient(fake)
         loss, grads = jax.value_and_grad(critic_loss_fn)(
             cp_, real, fake, vec, eps, length)
         updates, cs_ = cri_opt.update(grads, cs_)
-        return optax.apply_updates(cp_, updates), cs_, loss
+        return (optax.apply_updates(cp_, updates), cs_, loss,
+                _adopt_bn_stats(gp_, gp_stats))
 
     @functools.partial(jax.jit, static_argnames=("length",))
     def gen_step(gp_, gs_, cp_, noise, vec, *, length):
-        loss, grads = jax.value_and_grad(gen_loss_fn)(
-            gp_, cp_, noise, vec, length)
+        (loss, gp_stats), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(gp_, cp_, noise, vec, length)
         updates, gs_ = gen_opt.update(grads, gs_)
-        return optax.apply_updates(gp_, updates), gs_, loss
+        return _adopt_bn_stats(optax.apply_updates(gp_, updates),
+                               gp_stats), gs_, loss
 
     epoch_losses = []
     it = 0
@@ -256,7 +272,7 @@ def train_gan(generator, gen_params, critic, critic_params, corpus, *,
             key, k1, k2 = jax.random.split(key, 3)
             noise = jax.random.normal(k1, (b, 1, noise_size), DTYPE)
             eps = jax.random.uniform(k2, (b, 1, 1), DTYPE)
-            critic_params, cri_state, cl = critic_step(
+            critic_params, cri_state, cl, gen_params = critic_step(
                 critic_params, cri_state, gen_params, real, vec, noise, eps)
             c_losses.append(cl)
             it += 1

@@ -564,3 +564,79 @@ def test_plan_iterative_reaches_single_shot_loss(paule_model):
     # suite runs with random weights).
     assert np.isfinite(loss_chunked) and np.isfinite(loss_single)
     assert loss_chunked <= 1.25 * loss_single, (loss_chunked, loss_single)
+
+
+def test_criterion_totals_match_reference_tables():
+    """The 9 criterion variants' TOTALS compose exactly as the reference's
+    closure table (/root/reference/paule/paule.py:602-776): mel only for
+    acoustic*, semvec only for *semvec, speech-classifier when enabled, and
+    — under somatosensory feedback — BOTH tube terms for EVERY objective
+    (the reference's semvec+somatosensory loss includes tube_mel,
+    paule.py:744,755)."""
+    import jax
+    import jax.numpy as jnp
+    from paule_tpu.planning import engine
+
+    rng = np.random.default_rng(0)
+    model0 = Paule(seed=6)
+    dt = model0.dtype
+    xx = jnp.asarray(rng.normal(0, 0.3, (1, 8, 30)), dtype=dt)
+    tm = jnp.asarray(rng.normal(0, 1.0, (1, 4, 60)), dtype=dt)
+    ts = jnp.asarray(rng.normal(0, 1.0, (1, 300)), dtype=dt)
+    key = jax.random.PRNGKey(0)
+
+    cases = [(model0, False, False),
+             (Paule(seed=6, use_speech_classifier=True), True, False),
+             (Paule(seed=6, use_somatosensory_feedback=True), False, True)]
+    for model, use_sc, use_som in cases:
+        bundle = model._bundle()
+        for obj in engine.OBJECTIVES:
+            total, (subs, _pm, _ps, _pt) = engine.criterion(
+                bundle, xx, tm, ts, objective=obj,
+                use_speech_classifier=use_sc, use_somatosensory=use_som,
+                log_semantics=False, rng=key)
+            expected = (subs.velocity_loss + subs.jerk_loss
+                        + subs.local_linear_loss)
+            if obj in ("acoustic", "acoustic_semvec"):
+                assert float(subs.mel_loss) > 0
+                expected = expected + subs.mel_loss
+            if obj in ("semvec", "acoustic_semvec"):
+                assert float(subs.semvec_loss) > 0
+                expected = expected + subs.semvec_loss
+            if use_sc:
+                assert float(subs.speech_classifier_loss) > 0
+                expected = expected + subs.speech_classifier_loss
+            if use_som:
+                assert float(subs.tube_mel_loss) > 0
+                assert float(subs.tube_semvec_loss) > 0
+                expected = expected + subs.tube_mel_loss \
+                    + subs.tube_semvec_loss
+            np.testing.assert_allclose(float(total), float(expected),
+                                       rtol=1e-6)
+
+
+def test_log_semantics_post_scan_embedder_exact(target):
+    """objective='acoustic' + log_semantics: the embedder is hoisted out of
+    the planning scan (it is not in the loss) and applied once, batched, to
+    the sliced pred_mel logs — values must equal an explicit embedder apply
+    on the logged pred_mels, and the planning trajectory must be untouched
+    vs log_semantics=False (the term never entered the gradient)."""
+    kw = dict(target_acoustic=target, objective="acoustic",
+              continue_learning=False, n_outer=1, n_inner=4, log_ii=2,
+              verbose=False)
+    p1 = Paule(seed=9)
+    r1 = p1.plan_resynth(log_semantics=True, **kw)
+    # logged pred_semvec == embedder(logged pred_mel)
+    bundle = p1._bundle()
+    import jax.numpy as jnp
+    for pm_list, ps_list in zip(r1.pred_mel_steps, r1.pred_semvec_steps):
+        for pm, ps in zip(pm_list, ps_list):
+            ref = bundle.embedder.apply(
+                bundle.embedder_params, jnp.asarray(pm)[None], None,
+                deterministic=True, rng=None)[0]
+            np.testing.assert_allclose(np.asarray(ps), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-8)
+    # trajectory identical with the logging off (same rng stream consumed)
+    p2 = Paule(seed=9)
+    r2 = p2.plan_resynth(log_semantics=False, **kw)
+    np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from paule_tpu import pretrain
 from paule_tpu.models import (
@@ -77,3 +78,42 @@ def test_train_gan_runs(corpus):
                for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gp2)))
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(jax.tree.leaves(cp), jax.tree.leaves(cp2)))
+    # batch-norm running stats were adopted from the train-mode forwards
+    # (torch semantics: in-place update every train forward) — a
+    # from-scratch-trained generator must carry valid inference statistics
+    for bp, bp2 in zip(gp["blocks"], gp2["blocks"]):
+        assert not np.allclose(np.asarray(bp2["bn"]["mean"]),
+                               np.asarray(bp["bn"]["mean"]))
+        assert not np.allclose(np.asarray(bp2["bn"]["var"]),
+                               np.asarray(bp["bn"]["var"]))
+        assert np.isfinite(np.asarray(bp2["bn"]["mean"])).all()
+        assert np.isfinite(np.asarray(bp2["bn"]["var"])).all()
+
+
+def test_batchnorm_new_stats_matches_torch():
+    """blocks.batchnorm_new_stats reproduces torch BatchNorm1d's train-mode
+    running-stat update exactly (momentum 0.1, UNBIASED batch variance)."""
+    import torch
+    from paule_tpu.models import blocks as B
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1.5, (4, 7, 5))
+    mean0 = rng.normal(0, 1, 5)
+    var0 = rng.uniform(0.5, 2, 5)
+    bn = torch.nn.BatchNorm1d(5).double()
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.tensor(mean0))
+        bn.running_var.copy_(torch.tensor(var0))
+    # build params from independent copies: torch updates its buffers IN
+    # PLACE on the train forward, and np.asarray(tensor) aliases them
+    params = {"scale": jnp.ones(5), "bias": jnp.zeros(5),
+              "mean": jnp.asarray(mean0.copy()),
+              "var": jnp.asarray(var0.copy())}
+    bn.train()
+    bn(torch.tensor(x).transpose(1, 2))  # torch wants (B, C, T)
+    new = B.batchnorm_new_stats(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(new["mean"]),
+                               np.asarray(bn.running_mean), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(new["var"]),
+                               np.asarray(bn.running_var), rtol=1e-10)
+
