@@ -432,10 +432,13 @@ void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube) {
     dist = lerp(dist, lip_target, tt.ls[i]);
     dist = std::max(dist, 0.0);
     // dist^1.3 (fast_pow if-converted: the threshold keeps the exponent in
-    // fast_exp2_nc's exact range; below it the old path returned < 2^-863)
-    double p13 = (dist > 1e-200)
-                     ? fast_exp2_nc(1.3 * fast_log2_bc(dist))
-                     : 0.0;
+    // fast_exp2_nc's exact range; below it the old path returned < 2^-863).
+    // The exponent is also clamped above at 1020 — absurd user speaker
+    // ranges (dist >= ~2^787) would otherwise wrap the bit-cast into NaN,
+    // and NaN survives clampd; semantics-free since area caps at 15 anyway.
+    double e13 = 1.3 * fast_log2_bc(dist);
+    e13 = e13 > 1020.0 ? 1020.0 : e13;
+    double p13 = (dist > 1e-200) ? fast_exp2_nc(e13) : 0.0;
     double area = tt.w[i] * p13;
     // tongue side elevation reduces lateral area in its zone; a negative
     // TS3 (lowered sides) keeps a lateral bypass open at the tip
@@ -635,14 +638,16 @@ void GlottisState::step_block(int n, double* out) {
     pt -= std::floor(pt);
     pb = std::max(pb, 5e-4);
     pt = std::max(pt, 5e-4);
-    // exponent floored at -1000 (osc contribution ~ 0) so extreme skew
-    // values — reachable through user speaker files widening the PS
-    // range — stay inside fast_exp2_nc's valid domain; if-converts to a
-    // max, the loop still vectorizes
+    // exponent clamped to [-1000, 0] so extreme skew values of EITHER
+    // sign — reachable through user speaker files widening the PS range
+    // (negative skew times log2(p) in [-11,0) is large POSITIVE) — stay
+    // inside fast_exp2_nc's valid domain.  The upper clamp at 0 is exact:
+    // eb/et are immediately min'd with 1.0 and 2^0 = 1.  If-converts, the
+    // loop still vectorizes.
     double tb = skew * fast_log2_bc(pb);
     double tt2 = skew * fast_log2_bc(pt);
-    tb = tb < -1000.0 ? -1000.0 : tb;
-    tt2 = tt2 < -1000.0 ? -1000.0 : tt2;
+    tb = tb < -1000.0 ? -1000.0 : (tb > 0.0 ? 0.0 : tb);
+    tt2 = tt2 < -1000.0 ? -1000.0 : (tt2 > 0.0 ? 0.0 : tt2);
     double eb = fast_exp2_nc(tb);
     double et = fast_exp2_nc(tt2);
     double osc_b = fast_sinpi_sq(std::min(eb, 1.0));

@@ -398,6 +398,7 @@ def test_wide_range_speaker_stays_finite(tmp_path):
     sp = tmp_path / "wide.speaker"
     sp.write_text(
         "[tract_params]\n"
+        "5 LD -1e250 1e250 0.95\n"
         "10 TTX -100000 100000 3.5\n"
         "[glottis_params]\n"
         "8 PS -2000 2000 0.0\n")
@@ -410,13 +411,22 @@ def test_wide_range_speaker_stays_finite(tmp_path):
                         0.0, 0.0, 0.0]),
             np.asarray([120.0, 8000.0, 0.02, 0.02, 0.02, 1.5708, 1.0,
                         0.05, 1500.0, 25.0, -40.0])]), (n, 1))
-        sig, sr = pool.speak(cp)
-        assert np.isfinite(sig).all()
-        assert np.abs(sig).max() < 1e3
-        tube = pool.speak_and_extract_tube_information(cp)[2]
-        areas = np.asarray(tube["tube_area_cm2"])
-        assert np.isfinite(areas).all()
-        assert (areas >= 0).all() and (areas <= 15).all()
+        # negative PS (skew < 0): skew * log2(p) is large POSITIVE -- the
+        # exponent must be clamped above at 0, not only floored at -1000
+        cp_neg = cp.copy()
+        cp_neg[:, 19 + 8] = -1500.0
+        # absurd lip distance: dist ~ 1e240 so the dist^1.3 exponent
+        # (~1036) exceeds the bit-cast exp2 range without an upper clamp
+        cp_huge = cp.copy()
+        cp_huge[:, 5] = 1e240
+        for traj in (cp, cp_neg, cp_huge):
+            sig, sr = pool.speak(traj)
+            assert np.isfinite(sig).all()
+            assert np.abs(sig).max() < 1e3
+            tube = pool.speak_and_extract_tube_information(traj)[2]
+            areas = np.asarray(tube["tube_area_cm2"])
+            assert np.isfinite(areas).all()
+            assert (areas >= 0).all() and (areas <= 15).all()
     finally:
         pool.close()
 
