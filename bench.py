@@ -191,7 +191,8 @@ def bench_reference(target, models, init_cp, n_outer, *, plant="ours"):
     dt = time.perf_counter() - t0
     laps = list(_LapTqdm.laps)
     min_lap = min(laps) if laps else dt / max(n_outer, 1)
-    return dt, min_lap, float(r.prod_loss_steps[-1])
+    curve = [float(x) for x in r.prod_loss_steps]
+    return dt, min_lap, float(r.prod_loss_steps[-1]), laps, curve
 
 
 def make_paule(params_fwd, params_emb):
@@ -239,6 +240,101 @@ def wait_device_healthy(stage):
             time.sleep(60)
 
 
+def main_vtl_both():
+    """Fully-authentic comparison: BOTH legs plan through the reference's
+    real native VocalTractLab library (our planner via the round-4
+    plant-injection seam, ``Paule(plant=VTLPlant())``; the reference via
+    its own unmodified ``speak``), on a VTL copy-synthesis target, from
+    the same converted initial weights and the same zero trajectory.  The
+    speedup and the final produced-mel loss are then comparable with zero
+    asterisks: same planning budget, same plant, same target, same DSP.
+
+    Budget: BENCH_PARITY_OUTER outer iterations (default 2) on both legs,
+    measured wall (no extrapolation) — the VTL plant synthesizes roughly
+    in real time and serializes on its global state, so full 10-outer
+    runs are minutes-to-hours; the per-outer cost is constant for both
+    legs.  Ours includes cold jit compiles (conservative).
+    """
+    def stage(msg):
+        print(f"[bench-vtl-both] {msg}", file=sys.stderr, flush=True)
+
+    wait_device_healthy(stage)
+    import jax
+
+    jax.devices()
+    stage(f"jax backend ready: {jax.default_backend()}")
+
+    models = make_reference_models()  # also imports the reference package
+    params_fwd, params_emb = convert_params(models[0], models[1])
+
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
+    from paule_tpu.synth.vtl_plant import VTLPlant, vtl_available
+
+    if not vtl_available():
+        print(json.dumps({"error": "VTL library not available"}))
+        return 1
+
+    plant = VTLPlant()
+    cp_true = make_cp_true()
+    sig, sr = plant.speak(inv_normalize_cp(cp_true))
+    target = (sig, float(sr))
+    n_mel = np.asarray(normalize_mel(librosa_melspec(sig, sr))).shape[0]
+    init_cp = np.zeros((2 * n_mel, 30))
+    stage("VTL copy-synthesis target ready")
+
+    from paule_tpu.api import Paule
+
+    stage(f"ours through VTL plant (n_outer={PARITY_OUTER}, cold)...")
+    p = Paule(seed=1, pred_model=params_fwd, embedder=params_emb,
+              plant=plant)
+    t0 = time.perf_counter()
+    r_ours = run_ours(p, target, init_cp, PARITY_OUTER)
+    t_ours = time.perf_counter() - t0
+    loss_ours = float(r_ours.prod_loss_steps[-1])
+
+    stage(f"reference through its own VTL plant (n_outer={PARITY_OUTER}, "
+          f"~5 min/outer on a 1-core host)...")
+    t_ref, _, loss_ref, ref_laps, ref_curve = bench_reference(
+        target, models, init_cp, PARITY_OUTER, plant="vtl")
+
+    speedup = t_ref / t_ours
+    rel = abs(loss_ours - loss_ref) / max(abs(loss_ref), 1e-9)
+    print(json.dumps({
+        "metric": "plan_resynth speedup with BOTH legs planning through "
+                  "the reference's authentic native VocalTractLab library "
+                  "(same VTL copy-synthesis target, same converted initial "
+                  "weights, same budget), at matching final produced-mel "
+                  "loss",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup, 2),
+        "detail": {
+            "n_outer": PARITY_OUTER,
+            "t_ours_s": round(t_ours, 3),
+            "t_reference_s": round(t_ref, 3),
+            "reference_outer_laps_s": [round(x, 2) for x in ref_laps],
+            "loss_ours": round(loss_ours, 4),
+            "loss_reference": round(loss_ref, 4),
+            "loss_rel_diff": round(rel, 4),
+            "loss_parity_ok": bool(rel <= 0.10),
+            "prod_loss_curve_reference": [round(x, 4) for x in ref_curve],
+            "prod_loss_curve_ours": [round(float(x), 4)
+                                     for x in r_ours.prod_loss_steps],
+            "plant": "authentic libVocalTractLabApi.so on both legs "
+                     "(ours via Paule(plant=VTLPlant()), reference via "
+                     "its own unmodified speak)",
+            "timing_note": "measured walls, no extrapolation; ours "
+                           "includes cold jit compiles (conservative); "
+                           "VTL serializes on process-global state, so "
+                           "our async snapshot fan-out degrades to "
+                           "sequential synthesis on this leg",
+            "reference_torch_threads": os.cpu_count() or 1,
+        },
+    }))
+    return 0
+
+
 def main():
     # stage markers on stderr: if the driver's timeout kills the run (e.g.
     # during a TPU-tunnel outage), the captured tail shows where it died
@@ -279,8 +375,8 @@ def main():
     stage(f"reference leg: the reference's own plan_resynth (our synth "
           f"injected as its plant), {PARITY_OUTER} outer iterations "
           "(~4 min each on a 1-core host)...")
-    t_ref_parity, t_ref_min_lap, loss_ref = bench_reference(
-        target, models, init_cp, PARITY_OUTER, plant="ours")
+    t_ref_parity, t_ref_min_lap, loss_ref, ref_laps, ref_curve = \
+        bench_reference(target, models, init_cp, PARITY_OUTER, plant="ours")
 
     vtl_extra = None
     if os.environ.get("BENCH_VTL_PLANT", "0") == "1":
@@ -296,7 +392,7 @@ def main():
         # fresh seeded models: the 'ours'-plant leg above trained its
         # models in place (continue-learning), so reusing them would start
         # this leg from mutated weights
-        t_vtl, _, loss_vtl = bench_reference(
+        t_vtl, _, loss_vtl, _, _ = bench_reference(
             vtl_target, make_reference_models(),
             np.zeros((2 * n_mel_v, 30)), PARITY_OUTER, plant="vtl")
         vtl_extra = {
@@ -322,7 +418,21 @@ def main():
         run_ours(p3, target, init_cp, FULL_OUTER)
         t_ours_runs.append(time.perf_counter() - t0)
     t_ours_full = min(t_ours_runs)
-    t_ref_full = t_ref_min_lap * FULL_OUTER
+    if PARITY_OUTER >= FULL_OUTER:
+        # the parity run already covered the full budget: use the MEASURED
+        # reference wall, no per-outer extrapolation
+        t_ref_full = t_ref_parity
+        ref_timing_note = (f"measured wall of one complete {PARITY_OUTER}-"
+                           f"outer run of /root/reference/paule/paule.py:391"
+                           f"; ours is min of 2 full hot runs")
+    else:
+        t_ref_full = t_ref_min_lap * FULL_OUTER
+        ref_timing_note = (f"min per-outer-iteration wall over "
+                           f"{PARITY_OUTER} full outer iterations of "
+                           f"/root/reference/paule/paule.py:391, "
+                           f"x{FULL_OUTER}; ours is min of 2 full hot "
+                           f"runs — both legs min-damped against the "
+                           f"~2x host-throttle noise")
 
     speedup = t_ref_full / t_ours_full
     rel = abs(loss_ours - loss_ref) / max(abs(loss_ref), 1e-9)
@@ -341,12 +451,11 @@ def main():
             "t_reference_s": round(t_ref_full, 3),
             "t_reference_measured_s": round(t_ref_parity, 3),
             "t_reference_min_outer_lap_s": round(t_ref_min_lap, 3),
-            "reference_timing": f"min per-outer-iteration wall over "
-                                f"{PARITY_OUTER} full outer iterations of "
-                                f"/root/reference/paule/paule.py:391, "
-                                f"x{FULL_OUTER}; ours is min of 2 full hot "
-                                f"runs — both legs min-damped against the "
-                                f"~2x host-throttle noise",
+            "reference_outer_laps_s": [round(x, 2) for x in ref_laps],
+            "reference_timing": ref_timing_note,
+            "prod_loss_curve_reference": [round(x, 4) for x in ref_curve],
+            "prod_loss_curve_ours": [round(float(x), 4)
+                                     for x in r_parity.prod_loss_steps],
             "reference_torch_threads": os.cpu_count() or 1,
             "thread_note": "reference leg uses torch with all host cores; "
                            "this host has few cores, a many-core host "
@@ -369,4 +478,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_VTL_BOTH", "0") == "1":
+        sys.exit(main_vtl_both())
     sys.exit(main())

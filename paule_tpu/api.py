@@ -97,7 +97,7 @@ class Paule:
                  pretrained_dir=None, seed=20200905, dtype=None,
                  synthesis_async=True, synthesis_error="raise",
                  physical_forward=False, speaker="default",
-                 plan_overlap=False):
+                 plan_overlap=False, plant=None):
         del device  # JAX manages device placement; kept for API parity
         del pred_optimizer, inv_optimizer, tube_optimizer  # created below
         del tube_mel_optimizer, speech_classifier_optimizer
@@ -270,6 +270,16 @@ class Paule:
         n_workers = min(8, os.cpu_count() or 2)
         self._synth_pool = synth.SynthPool(size=n_workers,
                                            speaker_path=speaker)
+        #: the synthesizer the planner drives (the "plant"): any object with
+        #: ``speak(cp_denorm) -> (audio, sr)`` and
+        #: ``speak_and_extract_tube_information(cp_denorm) ->
+        #: (audio, sr, tube_info)`` over denormalized ``(seq, 30)``
+        #: trajectories (behavioral contract:
+        #: /root/reference/paule/util.py:175-249, 317-433).  Default = our
+        #: C++ SynthPool; inject
+        #: :class:`paule_tpu.synth.vtl_plant.VTLPlant` to plan through the
+        #: reference's authentic VocalTractLab binary.
+        self.plant = plant if plant is not None else self._synth_pool
         self._executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=n_workers)
 
@@ -537,7 +547,7 @@ class Paule:
             raise ValueError("non-finite cp trajectory (planning diverged?)")
         if self.use_somatosensory_feedback:
             sig, sr, tube_info = \
-                self._synth_pool.speak_and_extract_tube_information(cps)
+                self.plant.speak_and_extract_tube_information(cps)
             area = synth.get_area_info_within_oral_cavity(
                 tube_info["tube_length_cm"], tube_info["tube_area_cm2"])
             prod_tube = np.concatenate(
@@ -551,7 +561,7 @@ class Paule:
             if not np.isfinite(prod_tube).all():
                 raise ValueError("synthesizer produced non-finite tube data")
             return sig, sr, prod_tube
-        sig, sr = self._synth_pool.speak(cps)
+        sig, sr = self.plant.speak(cps)
         if not np.isfinite(sig).all():
             raise ValueError("synthesizer produced non-finite audio")
         return sig, sr, None

@@ -640,3 +640,53 @@ def test_log_semantics_post_scan_embedder_exact(target):
     p2 = Paule(seed=9)
     r2 = p2.plan_resynth(log_semantics=False, **kw)
     np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)
+
+
+class _RecordingPlant:
+    """A user-supplied plant: same audio as the default C++ synthesizer
+    (module-level synth calls), but records every entry so injection is
+    observable.  Matches the plant contract documented at api.py
+    (reference surface /root/reference/paule/util.py:175-249, 317-433)."""
+
+    def __init__(self):
+        self.calls = []
+
+    def speak(self, cp_denorm):
+        self.calls.append(("speak", np.asarray(cp_denorm).shape))
+        return synth.speak(cp_denorm)
+
+    def speak_and_extract_tube_information(self, cp_denorm):
+        self.calls.append(("tube", np.asarray(cp_denorm).shape))
+        return synth.speak_and_extract_tube_information(cp_denorm)
+
+    def close(self):
+        pass
+
+
+def test_plant_injection(target):
+    """`plant=` swaps the synthesizer the planner drives; with a plant
+    that produces the same audio, planning is bit-equal to the default."""
+    kw = dict(target_acoustic=target, objective="acoustic",
+              continue_learning=False, n_outer=1, n_inner=2, log_ii=1,
+              verbose=False)
+    plant = _RecordingPlant()
+    p1 = Paule(seed=21)
+    r1 = p1.plan_resynth(**kw)
+    p2 = Paule(seed=21, plant=plant)
+    assert p2.plant is plant
+    r2 = p2.plan_resynth(**kw)
+    assert any(c[0] == "speak" for c in plant.calls)
+    np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)
+    np.testing.assert_allclose(r1.prod_loss_steps, r2.prod_loss_steps,
+                               rtol=1e-12)
+
+
+def test_plant_injection_somatosensory(target):
+    """The somatosensory path routes tube extraction through the plant."""
+    plant = _RecordingPlant()
+    p = Paule(seed=22, use_somatosensory_feedback=True, plant=plant)
+    res = p.plan_resynth(target_acoustic=target, objective="acoustic",
+                         **TINY)
+    assert any(c[0] == "tube" for c in plant.calls)
+    assert not any(c[0] == "speak" for c in plant.calls)
+    assert np.isfinite(res.prod_loss_steps).all()

@@ -125,3 +125,61 @@ def test_reference_plan_resynth_micro(ref_pkg):
         assert len(r.prod_loss_steps) == 2
     finally:
         P.speak = old_speak
+
+
+def test_vtl_plant_contract(ref_pkg):
+    """VTLPlant exposes the reference's native VocalTractLab synthesizer
+    behind our plant surface (contract of paule/util.py:175-249,317-433)."""
+    from paule_tpu.synth.vtl_plant import VTLPlant, vtl_available
+
+    if not vtl_available():
+        pytest.skip("VTL shared library not present")
+    plant = VTLPlant()
+    import paule.util as U
+
+    cps = U.inv_normalize_cp(np.zeros((41, 30)))
+    sig, sr = plant.speak(cps)
+    assert sr == 44100
+    assert sig.shape == (40 * 110,)
+    # bit-identical to the reference's own speak on the same trajectory
+    ref_sig, ref_sr = U.speak(cps)
+    np.testing.assert_array_equal(sig, ref_sig)
+
+    audio, sr2, ti = plant.speak_and_extract_tube_information(
+        U.inv_normalize_cp(np.zeros((11, 30))))
+    assert sr2 == 44100
+    assert audio.shape == (10 * 110,)
+    assert ti["tube_area_cm2"].shape == (11, plant.n_tube_sections)
+    assert ti["tube_length_cm"].shape == (11, plant.n_tube_sections)
+    assert ti["incisor_pos_cm"].shape == (11,)
+    assert np.isfinite(ti["tube_area_cm2"]).all()
+    from paule_tpu.synth import ARTICULATOR
+
+    assert set(np.unique(ti["tube_articulator"])) <= set(ARTICULATOR.values())
+
+
+def test_our_planner_drives_vtl_plant(ref_pkg):
+    """OUR planner plans through the reference's authentic VTL binary:
+    tiny end-to-end plan_resynth with plant=VTLPlant on a VTL
+    copy-synthesis target (the round-4 plant-injection seam)."""
+    from paule_tpu.api import Paule
+    from paule_tpu.ops.normalize import inv_normalize_cp
+    from paule_tpu.synth.vtl_plant import VTLPlant, vtl_available
+
+    if not vtl_available():
+        pytest.skip("VTL shared library not present")
+    plant = VTLPlant()
+    rng = np.random.default_rng(0)
+    cp_true = np.clip(rng.normal(0, 0.05, (41, 30)).cumsum(0) * 0.2, -1, 1)
+    sig, sr = plant.speak(inv_normalize_cp(cp_true))
+    from paule_tpu.dsp.mel import librosa_melspec
+
+    n_mel = np.asarray(librosa_melspec(sig, sr)).shape[0]
+    p = Paule(seed=1, plant=plant)
+    r = p.plan_resynth(
+        target_acoustic=(sig, float(sr)), objective="acoustic",
+        initial_cp=np.zeros((2 * n_mel, 30)), initialize_from=None,
+        n_outer=1, n_inner=2, log_ii=1, n_batches=1, batch_size=2,
+        n_epochs=1, continue_learning=True, verbose=False)
+    assert np.asarray(r.planned_cp).shape == (2 * n_mel, 30)
+    assert np.isfinite(float(r.prod_loss_steps[-1]))
