@@ -97,7 +97,7 @@ class Paule:
                  pretrained_dir=None, seed=20200905, dtype=None,
                  synthesis_async=True, synthesis_error="raise",
                  physical_forward=False, speaker="default",
-                 plan_overlap=False, plant=None):
+                 plan_overlap=True, plant=None):
         del device  # JAX manages device placement; kept for API parity
         del pred_optimizer, inv_optimizer, tube_optimizer  # created below
         del tube_mel_optimizer, speech_classifier_optimizer
@@ -126,11 +126,15 @@ class Paule:
         #: single-scan path (the chunked calls consume the same per-step
         #: key array — tests/test_api.py::test_plan_overlap_exact).
         #: True -> 2 chunks; an int -> that many chunks.  Each extra chunk
-        #: costs one extra blocking device round-trip.  Default OFF: through
-        #: this dev host's ~20 ms tunnel the round-trips eat the overlap
-        #: (measured break-even at the default budget); enable it on
-        #: direct-attached TPU hosts or when host synthesis dominates
-        #: (somatosensory tube extraction, long utterances).
+        #: costs one extra blocking device round-trip.  Default ON since
+        #: r4: each chunk's snapshots synthesize in ONE native batch
+        #: crossing (GIL released) while the device plans the later
+        #: chunks — measured ~5% faster per outer even through this dev
+        #: host's ~20 ms tunnel, and the synthesis phase drops below the
+        #: planning phase (docs/measurements/hot_timing_r04.json); the
+        #: win grows on direct-attached TPU hosts and in the
+        #: somatosensory variant (tube extraction).  Set False for the
+        #: single-scan path.
         self.plan_overlap = plan_overlap
         #: defer the produced-metrics host fetch past the continue-
         #: learning dispatch (hides the fetch behind training compute);
@@ -566,6 +570,51 @@ class Paule:
             raise ValueError("synthesizer produced non-finite audio")
         return sig, sr, None
 
+    def _synthesize_batch(self, snapshots):
+        """All L logged snapshots in ONE native FFI crossing
+        (``pts_synth_block_batch``) instead of L Python/ctypes/executor
+        round-trips — the r3 profile showed ~4-6x per-snapshot overhead on
+        the per-trajectory path.  Returns a list of ``(sig, sr, tube)``
+        like L calls to :meth:`_synthesize`; per-item errors follow the
+        ``synthesis_error`` policy (one diverged snapshot doesn't abort
+        the batch in 'skip' mode)."""
+        cps = inv_normalize_cp(np.asarray(snapshots, dtype=np.float64))
+        if self.use_somatosensory_feedback:
+            audio, sr, errors, tubes = \
+                self.plant.speak_and_extract_batch(cps)
+        else:
+            audio, sr, errors = self.plant.speak_batch(cps)
+            tubes = None
+        out = []
+        for i in range(cps.shape[0]):
+            bad = errors[i] != 0 or not np.isfinite(audio[i]).all()
+            prod_tube = None
+            if not bad and tubes is not None:
+                ti = tubes[i]
+                area = synth.get_area_info_within_oral_cavity(
+                    ti["tube_length_cm"], ti["tube_area_cm2"])
+                prod_tube = normalize_tube(np.concatenate(
+                    [area,
+                     ti["incisor_pos_cm"][:, None],
+                     ti["tongue_tip_side_elevation"][:, None],
+                     ti["velum_opening_cm2"][:, None]], axis=1))
+                bad = not np.isfinite(prod_tube).all()
+            if bad:
+                if self.synthesis_error == "raise":
+                    raise ValueError(
+                        f"synthesis of snapshot {i} failed "
+                        f"(error code {int(errors[i])}; -1 = non-finite "
+                        "trajectory, planning diverged?)")
+                print(f"WARNING: synthesis of snapshot {i} failed "
+                      f"(error code {int(errors[i])}); substituting "
+                      "silence")
+                silent_tube = (np.zeros((cps.shape[1], 10))
+                               if self.use_somatosensory_feedback else None)
+                out.append((np.zeros(audio.shape[1]), sr, silent_tube))
+            else:
+                out.append((audio[i], sr, prod_tube))
+        return out
+
     def _prod_mel_of(self, sig, sr):
         mel = librosa_melspec(sig, sr)
         return normalize_mel(mel)
@@ -610,7 +659,15 @@ class Paule:
                      seed=None,
                      verbose=True):
         """Plan resynthesis cp trajectories (argument surface and semantics
-        of /root/reference/paule/paule.py:391-463)."""
+        of /root/reference/paule/paule.py:391-463).
+
+        ``verbose=True`` (the default, like the reference) prints each
+        step's losses in the reference's order, which requires blocking
+        produced-metrics fetches — the deferred-fetch pipelining
+        (``defer_metrics_fetch``) silently falls back to the blocking
+        order under verbose.  Pass ``verbose=False`` for the pipelined
+        hot path; all returned result series are identical either way
+        (docs/performance.md, "Verbose disables the deferral")."""
         if seed:
             self._py_rng.seed(seed)
             self._jax_rng = jax.random.PRNGKey(seed)
@@ -935,9 +992,21 @@ class Paule:
                     hc = jax.device_get(_fetch_of(so))
                     rows = np.asarray(hc.pop("xx_pre"), dtype=np.float64)
                     snap64_chunks.append(rows)
-                    for row in rows:
-                        synth_futures.append(
-                            self._executor.submit(self._synthesize, row))
+                    if hasattr(self.plant, "speak_batch"):
+                        # one native crossing per chunk, overlapped with
+                        # the later chunks' device planning (the C ABI
+                        # releases the GIL for the whole batch)
+                        fut = self._executor.submit(
+                            self._synthesize_batch, rows)
+                        synth_futures.extend(
+                            functools.partial(
+                                lambda f, j: f.result()[j], fut, j)
+                            for j in range(len(rows)))
+                    else:
+                        synth_futures.extend(
+                            self._executor.submit(self._synthesize,
+                                                  row).result
+                            for row in rows)
                     host_chunks.append(hc)
                 host = jax.tree.map(
                     lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
@@ -1011,49 +1080,65 @@ class Paule:
             timings["planning"] += time.perf_counter() - _t0
             _t0 = time.perf_counter()
 
-            # ---- host synthesis of all logged snapshots (parallel) ----
-            # (in overlap mode the jobs were already submitted during the
-            # planning fetch loop; this phase only collects them, so the
-            # "synthesis" timing shows the non-overlapped tail)
-            def run_jobs():
-                if synth_futures is not None:
-                    return [f.result for f in synth_futures]
-                if self.synthesis_async:
-                    return [self._executor.submit(self._synthesize,
-                                                  snapshots[s]).result
-                            for s in range(n_segments)]
-                return [functools.partial(self._synthesize, snapshots[s])
-                        for s in range(n_segments)]
-
-            syntheses = []
-            sig_devs = []  # chunked async uploads, started as syntheses
-            # complete so the host->device transfers (tunnel round-trips)
-            # overlap with the remaining synthesis jobs; chunks of several
-            # signals per put amortize the per-RPC latency (250 singleton
-            # puts per run measured noisy on a loaded tunnel)
+            # ---- host synthesis of all logged snapshots ----
+            # default path: ONE native crossing for the whole batch of
+            # snapshots (pts_synth_block_batch — no per-snapshot
+            # Python/ctypes/executor overhead) + ONE device upload.
+            # In overlap mode the per-snapshot jobs were already submitted
+            # during the planning fetch loop; this phase only collects
+            # them, so the "synthesis" timing shows the non-overlapped
+            # tail.  synthesis_async=False keeps the strictly-serial
+            # per-trajectory path (debug/parity mode).
             host_dtype = (np.float64 if self.dtype == jnp.float64
                           else np.float32)
-            put_chunk = 5
-            pending = []
-            for s, job in enumerate(run_jobs()):
-                try:
-                    syntheses.append(job())
-                except Exception as exc:  # noqa: BLE001
-                    if self.synthesis_error == "raise":
-                        raise
-                    print(f"WARNING: synthesis of snapshot {s} failed "
-                          f"({exc}); substituting silence")
-                    n_audio = max(0, (snapshots[s].shape[0] - 1)) * 110
-                    silent_tube = (np.zeros((snapshots[s].shape[0], 10))
-                                   if self.use_somatosensory_feedback
-                                   else None)
-                    syntheses.append((np.zeros(n_audio), 44100,
-                                      silent_tube))
-                pending.append(np.asarray(syntheses[-1][0],
-                                          dtype=host_dtype))
-                if len(pending) == put_chunk or s == n_segments - 1:
-                    sig_devs.append(jax.device_put(np.stack(pending)))
-                    pending = []
+            if (synth_futures is None and self.synthesis_async
+                    and hasattr(self.plant, "speak_batch")):
+                syntheses = self._synthesize_batch(snapshots)
+                sig_devs = [jax.device_put(np.stack(
+                    [np.asarray(s_[0], dtype=host_dtype)
+                     for s_ in syntheses]))]
+            else:
+                def run_jobs():
+                    if synth_futures is not None:
+                        return synth_futures  # callables (overlap mode)
+                    if self.synthesis_async:
+                        # plant without a batch entry (e.g. an injected
+                        # VTLPlant): thread-pool fan-out per snapshot
+                        return [self._executor.submit(self._synthesize,
+                                                      snapshots[s]).result
+                                for s in range(n_segments)]
+                    return [functools.partial(self._synthesize,
+                                              snapshots[s])
+                            for s in range(n_segments)]
+
+                syntheses = []
+                sig_devs = []  # chunked async uploads, started as
+                # syntheses complete so the host->device transfers (tunnel
+                # round-trips) overlap with the remaining synthesis jobs;
+                # chunks of several signals per put amortize the per-RPC
+                # latency (250 singleton puts per run measured noisy on a
+                # loaded tunnel)
+                put_chunk = 5
+                pending = []
+                for s, job in enumerate(run_jobs()):
+                    try:
+                        syntheses.append(job())
+                    except Exception as exc:  # noqa: BLE001
+                        if self.synthesis_error == "raise":
+                            raise
+                        print(f"WARNING: synthesis of snapshot {s} failed "
+                              f"({exc}); substituting silence")
+                        n_audio = max(0, (snapshots[s].shape[0] - 1)) * 110
+                        silent_tube = (np.zeros((snapshots[s].shape[0], 10))
+                                       if self.use_somatosensory_feedback
+                                       else None)
+                        syntheses.append((np.zeros(n_audio), 44100,
+                                          silent_tube))
+                    pending.append(np.asarray(syntheses[-1][0],
+                                              dtype=host_dtype))
+                    if len(pending) == put_chunk or s == n_segments - 1:
+                        sig_devs.append(jax.device_put(np.stack(pending)))
+                        pending = []
             sigs = np.stack([s_[0] for s_ in syntheses])
             sr = syntheses[-1][1]
             sig = sigs[-1]

@@ -569,6 +569,103 @@ class SynthPool:
         finally:
             self._release(h)
 
+    def _acquire_all(self):
+        """Take every handle (for a one-crossing batch call); blocks until
+        all outstanding per-trajectory calls return."""
+        with self._cond:
+            while len(self._free) < len(self._handles):
+                self._cond.wait()
+            taken = list(self._free)
+            self._free.clear()
+            return taken
+
+    def _release_all(self, handles):
+        with self._cond:
+            self._free.extend(handles)
+            self._cond.notify_all()
+
+    def _batch_core(self, cps_batch, with_tube):
+        """Synthesize (B, T, 30) trajectories in ONE FFI crossing
+        (pts_synth_block_batch); per-item error codes instead of raising,
+        so one diverged snapshot doesn't abort its batch."""
+        cps = np.ascontiguousarray(cps_batch, dtype=np.float64)
+        if cps.ndim != 3 or cps.shape[2] != N_CP:
+            raise ValueError(f"cps_batch must be (B, T, {N_CP}), "
+                             f"got {cps.shape}")
+        b, t = cps.shape[0], cps.shape[1]
+        if b == 0 or t == 0:
+            raise ValueError("empty batch")
+        # per-item finite guard: the C core's branch-free fast-math assumes
+        # finite inputs; bad items are zeroed (synthesized but discarded)
+        # and flagged with error -1
+        finite = np.isfinite(cps).all(axis=(1, 2))
+        if not finite.all():
+            cps = cps.copy()
+            cps[~finite] = 0.0
+        tract = np.ascontiguousarray(cps[:, :, :N_TRACT])
+        glottis = np.ascontiguousarray(cps[:, :, N_TRACT:])
+        audio = np.zeros((b, (t - 1) * FRAME_STEPS), dtype=np.float64)
+        errors = np.zeros(b, dtype=np.int32)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        iptr = ctypes.POINTER(ctypes.c_int)
+        if with_tube:
+            tube_length = np.zeros((b, t, N_TUBE_SECTIONS))
+            tube_area = np.zeros((b, t, N_TUBE_SECTIONS))
+            tube_articulator_idx = np.zeros((b, t, N_TUBE_SECTIONS),
+                                            dtype=np.int32)
+            incisor = np.zeros((b, t))
+            tongue_tip = np.zeros((b, t))
+            velum = np.zeros((b, t))
+            extra = (tube_length.ctypes.data_as(dptr),
+                     tube_area.ctypes.data_as(dptr),
+                     tube_articulator_idx.ctypes.data_as(iptr),
+                     incisor.ctypes.data_as(dptr),
+                     tongue_tip.ctypes.data_as(dptr),
+                     velum.ctypes.data_as(dptr))
+        else:
+            extra = (None,) * 6
+        handles = self._acquire_all()
+        try:
+            harr = (ctypes.c_void_p * len(handles))(*handles)
+            failure = self._lib.pts_synth_block_batch(
+                harr, len(handles),
+                tract.ctypes.data_as(dptr), glottis.ctypes.data_as(dptr),
+                b, t, FRAME_STEPS, audio.ctypes.data_as(dptr),
+                1 if with_tube else 0, *extra,
+                errors.ctypes.data_as(iptr))
+            if failure != 0:
+                raise ValueError(f"pts_synth_block_batch failed: {failure}")
+        finally:
+            self._release_all(handles)
+        errors = np.where(finite, errors, -1)
+        if with_tube:
+            tube_infos = [{
+                "tube_length_cm": tube_length[i],
+                "tube_area_cm2": tube_area[i],
+                "tube_articulator":
+                    np.vectorize(ARTICULATOR.get)(tube_articulator_idx[i]),
+                "incisor_pos_cm": incisor[i],
+                "tongue_tip_side_elevation": tongue_tip[i],
+                "velum_opening_cm2": velum[i],
+            } for i in range(b)]
+            return audio, SAMPLE_RATE, errors, tube_infos
+        return audio, SAMPLE_RATE, errors, None
+
+    def speak_batch(self, cps_batch):
+        """Block-synthesize B same-length trajectories in one native call.
+
+        Returns ``(audio (B, (T-1)*110), 44100, errors (B,))``; errors[i]
+        nonzero (or -1 for non-finite input) marks a failed item whose
+        audio row is unreliable."""
+        audio, sr, errors, _ = self._batch_core(cps_batch, with_tube=False)
+        return audio, sr, errors
+
+    def speak_and_extract_batch(self, cps_batch):
+        """Batch variant of :meth:`speak_and_extract_tube_information`:
+        one native crossing for B trajectories incl. tube extraction.
+        Returns ``(audio, 44100, errors, [tube_info] * B)``."""
+        return self._batch_core(cps_batch, with_tube=True)
+
     def close(self):
         with self._lock:
             for h in self._handles:

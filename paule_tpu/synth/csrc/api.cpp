@@ -15,6 +15,7 @@
 #include <memory>
 #include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "model.h"
@@ -358,6 +359,78 @@ int pts_tract_sequence_to_ema_and_mesh(const double* tract,
   return tract_seq_to_ema_and_mesh(inst->synth->speaker(), tract, glottis,
                                    n_frames, n_ema, surf, vert,
                                    path ? path : "", prefix ? prefix : "out");
+}
+
+// ------------------------------------------------------------ batch entry
+
+// Synthesize a BATCH of same-length trajectories in ONE FFI crossing,
+// optionally with per-frame tube extraction — the planner logs L snapshots
+// per outer iteration and previously paid the Python/ctypes/executor
+// round-trip L times (the reference pays 1 eager call per snapshot,
+// /root/reference/paule/paule.py:1065-1099).  Work is spread across the
+// provided handles with std::thread (each handle serves the trajectory
+// indices congruent to its position); on a single-core host n_handles=1
+// still collapses L crossings into one.
+//
+// Per-item error codes land in errors[b] (0 = ok); the return value is
+// nonzero only for malformed arguments, so one diverged snapshot does not
+// abort its batch (the Python layer's synthesis_error='skip' policy).
+int pts_synth_block_batch(void** handles, int n_handles,
+                          const double* tract,    // (B, T, 19)
+                          const double* glottis,  // (B, T, 11)
+                          int batch, int n_frames, int frame_steps,
+                          double* audio,          // (B, (T-1)*steps)
+                          int with_tube,
+                          double* tube_length,    // (B, T, 40) or null
+                          double* tube_area,      // (B, T, 40) or null
+                          int* articulator,       // (B, T, 40) or null
+                          double* incisor_pos,    // (B, T) or null
+                          double* tongue_tip_side,  // (B, T) or null
+                          double* velum_opening,  // (B, T) or null
+                          int* errors) {          // (B,)
+  if (!handles || n_handles < 1 || batch < 1 || n_frames < 1) return 1;
+  for (int k = 0; k < n_handles; ++k)
+    if (!handles[k]) return 1;
+  if (with_tube && (!tube_length || !tube_area || !articulator ||
+                    !incisor_pos || !tongue_tip_side || !velum_opening))
+    return 1;
+  const size_t traj_tract = (size_t)n_frames * kTractParams;
+  const size_t traj_glottis = (size_t)n_frames * kGlottisParams;
+  const size_t traj_audio = (size_t)(n_frames - 1) * frame_steps;
+  const size_t traj_tube = (size_t)n_frames * kTubeSections;
+
+  auto worker = [&](int k) {
+    Synthesizer* synth = as_inst(handles[k])->synth.get();
+    for (int b = k; b < batch; b += n_handles) {
+      const double* tr = tract + (size_t)b * traj_tract;
+      const double* gl = glottis + (size_t)b * traj_glottis;
+      double* au = audio + (size_t)b * traj_audio;
+      if (with_tube) {
+        errors[b] = pts_speak_and_extract_h(
+            handles[k], tr, gl, n_frames, frame_steps, au,
+            tube_length + (size_t)b * traj_tube,
+            tube_area + (size_t)b * traj_tube,
+            articulator + (size_t)b * traj_tube,
+            incisor_pos + (size_t)b * n_frames,
+            tongue_tip_side + (size_t)b * n_frames,
+            velum_opening + (size_t)b * n_frames);
+      } else {
+        synth->reset();
+        errors[b] = synth->synth_block(tr, gl, n_frames, frame_steps, au);
+      }
+    }
+  };
+
+  int n_threads = std::min(n_handles, batch);
+  if (n_threads <= 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int k = 0; k < n_threads; ++k) threads.emplace_back(worker, k);
+    for (auto& t : threads) t.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

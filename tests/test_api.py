@@ -342,10 +342,34 @@ def test_visualize_results(tmp_path, paule_model, target):
 
 def test_synthesis_error_skip(target, monkeypatch):
     """synthesis_error='skip' substitutes silence for failed snapshots and
-    keeps planning; 'raise' (the default/reference behavior) propagates."""
+    keeps planning; 'raise' (the default/reference behavior) propagates.
+    Covers BOTH synthesis paths: the batched single-crossing path
+    (synthesis_async=True, per-item error codes) and the serial
+    per-trajectory path (synthesis_async=False, exceptions)."""
+    # batch path: flag every other snapshot as failed via the error array
     p = Paule(seed=4, synthesis_error="skip")
+    orig_batch = p._synth_pool.speak_batch
+    batch_calls = {"n": 0}
+
+    def flaky_batch(cps):
+        batch_calls["n"] += 1
+        audio, sr, errors = orig_batch(cps)
+        errors = errors.copy()
+        errors[1::2] = 7
+        return audio, sr, errors
+
+    monkeypatch.setattr(p._synth_pool, "speak_batch", flaky_batch)
+    r = p.plan_resynth(target_acoustic=target, objective="acoustic",
+                       initialize_from="acoustic", continue_learning=True,
+                       **TINY)
+    assert batch_calls["n"] > 0
+    assert len(r.prod_loss_steps) == 2
+    assert all(np.isfinite(r.prod_loss_steps))
+
+    # serial path: exceptions from the plant's per-trajectory speak
+    p1 = Paule(seed=4, synthesis_error="skip", synthesis_async=False)
     calls = {"n": 0}
-    orig = p._synth_pool.speak
+    orig = p1._synth_pool.speak
 
     def flaky(cp):
         calls["n"] += 1
@@ -353,19 +377,32 @@ def test_synthesis_error_skip(target, monkeypatch):
             raise ValueError("injected synthesizer failure")
         return orig(cp)
 
-    monkeypatch.setattr(p._synth_pool, "speak", flaky)
-    r = p.plan_resynth(target_acoustic=target, objective="acoustic",
-                       initialize_from="acoustic", continue_learning=True,
-                       **TINY)
-    assert len(r.prod_loss_steps) == 2
-    assert all(np.isfinite(r.prod_loss_steps))
+    monkeypatch.setattr(p1._synth_pool, "speak", flaky)
+    r1 = p1.plan_resynth(target_acoustic=target, objective="acoustic",
+                         initialize_from="acoustic", continue_learning=True,
+                         **TINY)
+    assert len(r1.prod_loss_steps) == 2
+    assert all(np.isfinite(r1.prod_loss_steps))
 
+    # raise mode propagates on both paths
     p2 = Paule(seed=4, synthesis_error="raise")
     monkeypatch.setattr(
         p2._synth_pool, "speak",
         lambda cp: (_ for _ in ()).throw(ValueError("boom")))
     with pytest.raises(ValueError):
         p2.plan_resynth(target_acoustic=target, objective="acoustic",
+                        initialize_from="acoustic", continue_learning=False,
+                        **TINY)
+
+    p3 = Paule(seed=4, synthesis_error="raise")
+
+    def all_fail_batch(cps):
+        audio, sr, errors = p3._synth_pool._batch_core(cps, False)[:3]
+        return audio, sr, np.full_like(errors, 9)
+
+    monkeypatch.setattr(p3._synth_pool, "speak_batch", all_fail_batch)
+    with pytest.raises(ValueError, match="error code 9"):
+        p3.plan_resynth(target_acoustic=target, objective="acoustic",
                         initialize_from="acoustic", continue_learning=False,
                         **TINY)
 

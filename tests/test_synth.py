@@ -444,3 +444,41 @@ def test_non_finite_cp_rejected():
         synth.speak_and_extract_tube_information(cp)
     with pytest.raises(ValueError, match="non-finite"):
         synth.get_transfer_function(np.full(19, np.nan), 16)
+
+
+def test_speak_batch_bit_identical_to_serial():
+    """pts_synth_block_batch: one native crossing for B trajectories ==
+    B serial speak calls, bit for bit (incl. tube extraction); per-item
+    error codes flag non-finite inputs without aborting the batch."""
+    synth.initialize()
+    pool = synth.SynthPool(size=2)
+    rng = np.random.default_rng(3)
+    cps = np.stack([
+        inv_normalize_cp(np.clip(
+            rng.normal(0, 0.05, (21, 30)).cumsum(0) * 0.2, -1, 1))
+        for _ in range(4)])
+
+    sigs, sr, errs = pool.speak_batch(cps)
+    assert sr == 44100 and sigs.shape == (4, 20 * 110)
+    assert (errs == 0).all()
+    for i in range(4):
+        ref, _ = pool.speak(cps[i])
+        np.testing.assert_array_equal(sigs[i], ref)
+
+    audio, _, errs2, tubes = pool.speak_and_extract_batch(cps)
+    assert (errs2 == 0).all()
+    ref_a, _, ref_t = pool.speak_and_extract_tube_information(cps[1])
+    np.testing.assert_array_equal(audio[1], ref_a)
+    np.testing.assert_array_equal(tubes[1]["tube_area_cm2"],
+                                  ref_t["tube_area_cm2"])
+    np.testing.assert_array_equal(tubes[1]["tube_articulator"],
+                                  ref_t["tube_articulator"])
+    np.testing.assert_array_equal(tubes[1]["incisor_pos_cm"],
+                                  ref_t["incisor_pos_cm"])
+
+    bad = cps.copy()
+    bad[2, 5, 7] = np.nan
+    sigs3, _, errs3 = pool.speak_batch(bad)
+    assert errs3[2] == -1 and (np.delete(errs3, 2) == 0).all()
+    np.testing.assert_array_equal(sigs3[0], sigs[0])
+    pool.close()

@@ -1,18 +1,20 @@
-"""Wall-clock of the model variants vs the plain acoustic path (VERDICT r2
-item 8: the somatosensory variant triples the per-step proxy-model count and
-its cost was unmeasured).
+"""Wall-clock of the model variants vs the plain acoustic_semvec path.
 
-Measures one hot outer iteration (25 inner steps, log_ii=1,
-continue-learning on) of plan_resynth for:
+The somatosensory variant triples the per-step proxy-model count (cp→tube,
+tube→mel, tube→semvec in the criterion AND tube extraction during
+synthesis); the speech-classifier variant adds a per-frame linear.  Their
+cost is measured against the bench configuration.
 
-* acoustic_semvec (the bench configuration)
-* acoustic_semvec + use_speech_classifier
-* acoustic_semvec + use_somatosensory_feedback (tube objective variants:
-  cp→tube, tube→mel, tube→semvec proxies in the criterion AND tube
-  extraction during synthesis)
+r4 methodology (VERDICT r3 item 7 — the r3 single-shot ratios were
+noise-dominated): the three variants are warmed once, then measured in
+``REPS`` interleaved rounds (A/B/C per round, one hot 2-outer run each),
+so the host/tunnel throttle swing hits all variants of a round roughly
+equally.  Ratios are computed WITHIN each round (paired), and the report
+gives median + IQR across rounds for both the absolute per-outer wall and
+the paired ratios.
 
-Writes ``docs/measurements/variants_r03.json``.
-Run: PYTHONPATH=. python tools/bench_variants.py
+Writes ``docs/measurements/variants_r04.json``.
+Run on the real TPU (quiet host): PYTHONPATH=. python tools/bench_variants.py
 """
 
 import json
@@ -21,37 +23,30 @@ import sys
 import time
 
 import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-
 T_CP = 402
+REPS = int(os.environ.get("VARIANTS_REPS", "5"))
+OUTERS_PER_REP = 2
+
+VARIANTS = [
+    ("acoustic_semvec", {}),
+    ("speech_classifier", {"use_speech_classifier": True}),
+    ("somatosensory", {"use_somatosensory_feedback": True}),
+]
 
 
-def measure(paule_kwargs, objective, label):
-    from paule_tpu import synth
+def build(paule_kwargs, target):
     from paule_tpu.api import Paule
-    from paule_tpu.ops.normalize import inv_normalize_cp
-
-    synth.initialize()
-    rng = np.random.default_rng(0)
-    cp = np.clip(rng.normal(0, 0.05, (T_CP + 1, 30)).cumsum(0) * 0.2, -1, 1)
-    target = synth.speak(inv_normalize_cp(cp))
 
     p = Paule(seed=1, **paule_kwargs)
-    kw = dict(target_acoustic=target, objective=objective,
+    kw = dict(target_acoustic=target, objective="acoustic_semvec",
               initialize_from="acoustic", log_ii=1, log_semantics=True,
               n_inner=25, n_batches=3, batch_size=8, n_epochs=10,
               continue_learning=True, verbose=False)
-    print(f"[variants] {label}: warm-up...", file=sys.stderr, flush=True)
-    p.plan_resynth(n_outer=1, **kw)
-    t0 = time.perf_counter()
-    p.plan_resynth(n_outer=2, **kw)
-    dt = (time.perf_counter() - t0) / 2
-    split = {k: round(v / 2, 3) for k, v in p.last_planning_timings.items()}
-    print(f"[variants] {label}: {dt:.2f} s/outer {split}",
-          file=sys.stderr, flush=True)
-    return {"s_per_outer": round(dt, 3), "phase_split_s": split}
+    return p, kw
 
 
 def main():
@@ -61,21 +56,67 @@ def main():
         print(f"SKIP: backend {jax.default_backend()!r}, need a real TPU")
         return 1
 
+    from paule_tpu import synth
+    from paule_tpu.ops.normalize import inv_normalize_cp
+
+    synth.initialize()
+    rng = np.random.default_rng(0)
+    cp = np.clip(rng.normal(0, 0.05, (T_CP + 1, 30)).cumsum(0) * 0.2, -1, 1)
+    target = synth.speak(inv_normalize_cp(cp))
+
+    runs = {}
+    for name, kwargs in VARIANTS:
+        print(f"[variants] warm {name}...", file=sys.stderr, flush=True)
+        p, kw = build(kwargs, target)
+        p.plan_resynth(n_outer=1, **kw)  # compiles
+        runs[name] = (p, kw)
+
+    walls = {name: [] for name, _ in VARIANTS}
+    splits = {name: [] for name, _ in VARIANTS}
+    for rep in range(REPS):
+        for name, _ in VARIANTS:
+            p, kw = runs[name]
+            t0 = time.perf_counter()
+            p.plan_resynth(n_outer=OUTERS_PER_REP, **kw)
+            dt = (time.perf_counter() - t0) / OUTERS_PER_REP
+            walls[name].append(dt)
+            splits[name].append({k: v / OUTERS_PER_REP
+                                 for k, v in p.last_planning_timings.items()})
+        print(f"[variants] round {rep + 1}/{REPS}: " +
+              " ".join(f"{n}={walls[n][-1]:.2f}s" for n in walls),
+              file=sys.stderr, flush=True)
+
+    def q(xs, p):
+        return float(np.percentile(np.asarray(xs), p))
+
     out = {
         "budget": "per outer: 25 inner steps, log_ii=1, continue-learning "
                   "(3x8x10)",
-        "acoustic_semvec": measure({}, "acoustic_semvec", "acoustic_semvec"),
-        "speech_classifier": measure({"use_speech_classifier": True},
-                                     "acoustic_semvec", "speech_classifier"),
-        "somatosensory": measure({"use_somatosensory_feedback": True},
-                                 "acoustic_semvec", "somatosensory"),
+        "method": f"{REPS} interleaved rounds x {OUTERS_PER_REP} hot "
+                  "outers per variant; paired per-round ratios; "
+                  "median [IQR]",
     }
-    base = out["acoustic_semvec"]["s_per_outer"]
-    for k in ("speech_classifier", "somatosensory"):
-        out[k]["vs_acoustic_semvec"] = round(
-            out[k]["s_per_outer"] / base, 2)
+    for name in walls:
+        xs = walls[name]
+        med_split = {k: round(float(np.median([s[k] for s in splits[name]])),
+                              3)
+                     for k in splits[name][0]}
+        out[name] = {
+            "s_per_outer_median": round(float(np.median(xs)), 3),
+            "s_per_outer_iqr": [round(q(xs, 25), 3), round(q(xs, 75), 3)],
+            "s_per_outer_all": [round(x, 3) for x in xs],
+            "phase_split_s_median": med_split,
+        }
+    for name in ("speech_classifier", "somatosensory"):
+        ratios = [walls[name][i] / walls["acoustic_semvec"][i]
+                  for i in range(REPS)]
+        out[name]["vs_acoustic_semvec_median"] = round(
+            float(np.median(ratios)), 3)
+        out[name]["vs_acoustic_semvec_iqr"] = [
+            round(q(ratios, 25), 3), round(q(ratios, 75), 3)]
+        out[name]["vs_acoustic_semvec_all"] = [round(r, 3) for r in ratios]
     os.makedirs("docs/measurements", exist_ok=True)
-    with open("docs/measurements/variants_r03.json", "w") as fh:
+    with open("docs/measurements/variants_r04.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
     return 0

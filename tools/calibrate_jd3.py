@@ -1,0 +1,139 @@
+"""Calibrated-speaker acoustic validation against the real VTL (VERDICT r3
+item 6).
+
+Executes the documented calibration recipe (docs/speakers.md,
+docs/examples/calibrate_speaker.py) on the imported JD3 speaker and
+validates it at the FORMANT level against the reference's native
+VocalTractLab binary:
+
+1. parse JD3 (synth/speaker_import.py), build a sustained-vowel cp
+   trajectory per phone (constant tract = the JD3 ``<shape>``, constant
+   glottis = the modal shape) — the SAME (T, 30) denormalized cp drives
+   both synthesizers (their 19+11 param orderings are positionally
+   identical);
+2. synthesize each phone through the authentic VTL
+   (synth/vtl_plant.VTLPlant) and measure F1/F2 by LPC
+   (dsp/formants.lpc_formants);
+3. import JD3 to our INI (anatomy-estimated base length), synthesize the
+   same cps with OUR synthesizer, measure the same formants;
+4. calibrate: ONE scalar — scale ``base_length_cm`` by the measured
+   F1('a') ratio (tube resonances scale ~1/length) — then re-measure;
+5. write ``paule_tpu/synth/speaker/jd3_calibrated.ini`` (committed) and
+   the measured table to ``docs/measurements/jd3_formants_r04.json``.
+
+Our tract model is functional (19 params -> 40-section areas), not VTL's
+3-D spline anatomy (speaker_import.py:24-30), so per-phone formants match
+in ORDERING and rough magnitude, not Hz-exactly; the table quantifies the
+residual per phone.
+
+Run: PYTHONPATH=. python tools/calibrate_jd3.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+JD3 = "/root/reference/paule/vocaltractlab_api/JD3.speaker"
+PHONES = ["a", "e", "i", "o", "u"]
+T_FRAMES = 265  # 0.66 s sustained
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INI_OUT = os.path.join(REPO, "paule_tpu/synth/speaker/jd3_calibrated.ini")
+
+
+def phone_cp(parsed, phone):
+    """(T, 30) denormalized sustained-phone trajectory (constant rows)."""
+    tract = [parsed["tract_shapes"][phone].get(pname, ne)
+             for _, pname, _, _, ne in parsed["tract_params"]]
+    gneutral = {r[1]: r[4] for r in parsed["glottis_params"]}
+    modal = dict(gneutral)
+    modal.update(parsed["glottis_shapes"].get(
+        "modal", parsed["glottis_shapes"].get("default", {})))
+    glottis = [modal[r[1]] for r in parsed["glottis_params"]]
+    row = np.asarray(tract + glottis, dtype=np.float64)
+    return np.tile(row, (T_FRAMES, 1))
+
+
+def formants_of(speak, cp):
+    sig, sr = speak(cp)
+    return [round(f, 1) for f in __import__(
+        "paule_tpu.dsp.formants", fromlist=["lpc_formants"]).lpc_formants(
+            sig, sr, n_formants=2)]
+
+
+def main():
+    from paule_tpu import synth
+    from paule_tpu.synth.speaker_import import (import_speaker,
+                                                parse_vtl_speaker)
+    from paule_tpu.synth.vtl_plant import VTLPlant, vtl_available
+
+    if not vtl_available():
+        print("SKIP: VTL library not available")
+        return 1
+
+    parsed = parse_vtl_speaker(JD3)
+    cps = {ph: phone_cp(parsed, ph) for ph in PHONES}
+
+    # --- VTL ground truth ---
+    plant = VTLPlant()
+    vtl = {ph: formants_of(plant.speak, cps[ph]) for ph in PHONES}
+    print(f"[jd3] VTL formants: {vtl}", file=sys.stderr, flush=True)
+
+    # --- ours, anatomy-estimated import ---
+    tmp_ini = "/tmp/jd3_import.ini"
+    import_speaker(JD3, tmp_ini, name="JD3")
+    synth.initialize(tmp_ini)
+    ours0 = {ph: formants_of(synth.speak, cps[ph]) for ph in PHONES}
+    print(f"[jd3] ours (uncalibrated): {ours0}", file=sys.stderr, flush=True)
+
+    # --- one-scalar calibration on F1('a') ---
+    with open(tmp_ini) as fh:
+        base = next(float(l.split("=")[1]) for l in fh
+                    if l.startswith("base_length_cm"))
+    base_cal = base * (ours0["a"][0] / vtl["a"][0])
+    import_speaker(JD3, INI_OUT, name="JD3-calibrated",
+                   base_length_cm=round(base_cal, 2))
+    synth.initialize(INI_OUT)
+    ours = {ph: formants_of(synth.speak, cps[ph]) for ph in PHONES}
+    print(f"[jd3] ours (calibrated, base {base_cal:.2f} cm): {ours}",
+          file=sys.stderr, flush=True)
+    synth.initialize()  # restore default
+
+    table = {}
+    for ph in PHONES:
+        table[ph] = {
+            "vtl_f1_hz": vtl[ph][0], "vtl_f2_hz": vtl[ph][1],
+            "ours_f1_hz": ours[ph][0], "ours_f2_hz": ours[ph][1],
+            "f1_rel_diff": round(abs(ours[ph][0] - vtl[ph][0])
+                                 / vtl[ph][0], 3),
+            "f2_rel_diff": (round(abs(ours[ph][1] - vtl[ph][1])
+                                  / vtl[ph][1], 3)
+                            if np.isfinite(ours[ph][1])
+                            and np.isfinite(vtl[ph][1]) else None),
+        }
+    out = {
+        "method": "sustained phones (constant JD3 shape + modal glottis, "
+                  f"{T_FRAMES} frames), LPC formants (dsp/formants.py), "
+                  "VTL = authentic libVocalTractLabApi.so via "
+                  "synth/vtl_plant.py",
+        "base_length_estimated_cm": base,
+        "base_length_calibrated_cm": round(base_cal, 2),
+        "calibration": "one scalar: base_length_cm scaled by the measured "
+                       "F1('a') ratio (docs/speakers.md recipe)",
+        "uncalibrated_ours": ours0,
+        "phones": table,
+        "ini": os.path.relpath(INI_OUT, REPO),
+    }
+    os.makedirs("docs/measurements", exist_ok=True)
+    with open("docs/measurements/jd3_formants_r04.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
