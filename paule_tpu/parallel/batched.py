@@ -30,36 +30,35 @@ def plan_segment_batched(params_dynamic, models_static, xx, opt_state,
                          objective, use_speech_classifier, use_somatosensory,
                          log_semantics, constraints, lr):
     """Batched planning scan: ``xx (B, T, 30)``, ``target_mels (B, F, 60)``,
-    ``target_semvecs (B, 300)``; every utterance gets independent Adam
-    moments and an independent loss (vmapped criterion)."""
+    ``target_semvecs (B, 300)``; every utterance keeps an independent loss
+    and independent (elementwise) Adam moments.
+
+    The models run NATIVELY batched — one fused LSTM kernel at batch B per
+    step (``engine.criterion_batched``) instead of a vmapped per-utterance
+    criterion, which lowered to B sequential B=1 recurrence chains and
+    cost ~B x the single-utterance latency (r4 roofline finding).  The
+    per-utterance losses reduce before the batch sum, so gradients and
+    Adam updates are mathematically identical to B independent planners."""
     models = models_static._replace(**params_dynamic)
     opt = optax.adam(lr)
     xx_init = xx
 
-    def one_loss(x, tmel, tsem, step_rng):
-        total, (subs, _pm, _ps, _pt) = engine.criterion(
-            models, x[None], tmel[None], tsem[None], objective=objective,
+    def loss_fn(x, step_rng):
+        total_b, (subs, _pm, _ps, _pt) = engine.criterion_batched(
+            models, x, target_mels, target_semvecs, objective=objective,
             use_speech_classifier=use_speech_classifier,
             use_somatosensory=use_somatosensory,
             log_semantics=log_semantics, rng=step_rng)
-        return total, subs
-
-    def one_update(x, state, x0, tmel, tsem, step_rng):
-        (_, subs), grads = jax.value_and_grad(one_loss, has_aux=True)(
-            x, tmel, tsem, step_rng)
-        updates, state = opt.update(grads, state)
-        x_new = engine.apply_constraints(
-            optax.apply_updates(x, updates)[None], x0[None], constraints)[0]
-        return x_new, state, subs, x
-
-    v_update = jax.vmap(one_update, in_axes=(0, 0, 0, 0, 0, 0))
+        return jnp.sum(total_b), subs
 
     def step(carry, step_rng):
         x, state = carry
-        rngs = jax.random.split(step_rng, x.shape[0])
-        x_new, state, subs, x_pre = v_update(
-            x, state, xx_init, target_mels, target_semvecs, rngs)
-        return (x_new, state), (subs, x_pre)
+        (_, subs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(x, step_rng)
+        updates, state = opt.update(grads, state)
+        x_new = engine.apply_constraints(
+            optax.apply_updates(x, updates), xx_init, constraints)
+        return (x_new, state), (subs, x)
 
     rngs = jax.random.split(rng, n_steps)
     (xx_out, opt_state), (subs, xx_pre) = jax.lax.scan(
@@ -68,8 +67,10 @@ def plan_segment_batched(params_dynamic, models_static, xx, opt_state,
 
 
 def init_batched_opt_state(xx, lr):
-    """Per-utterance Adam states (vmapped init)."""
-    return jax.vmap(optax.adam(lr).init)(xx)
+    """Adam state over the whole (B, T, 30) batch.  Moments are
+    elementwise, so this equals per-utterance states (the r3 vmapped
+    layout) for every trajectory."""
+    return optax.adam(lr).init(xx)
 
 
 def _prepare_batch(paule_obj, target_mels, target_semvecs, mesh,

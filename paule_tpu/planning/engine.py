@@ -162,6 +162,91 @@ def criterion(models, xx, target_mel, target_semvec, *, objective,
     return total, (subs, pred_mel, pred_semvec, pred_tube)
 
 
+def _bmean(x):
+    """Mean over every axis except the leading batch axis -> (B,)."""
+    return jnp.mean(x.reshape(x.shape[0], -1), axis=1)
+
+
+def criterion_batched(models, xx, target_mel, target_semvec, *, objective,
+                      use_speech_classifier, use_somatosensory,
+                      log_semantics, rng):
+    """Per-utterance weighted planning loss over a NATIVELY batched
+    forward: ``xx (B, T, 30)`` runs through each model ONCE (one fused
+    LSTM kernel at batch B instead of B sequential B=1 chains — the r3
+    vmapped formulation cost ~B x the single-utterance latency), with
+    every reduction per-utterance so the per-b losses and gradients equal
+    B independent :func:`criterion` calls.  Returns ``(total_b (B,),
+    (SubLosses of (B,) arrays, pred_mel, pred_semvec, pred_tube))``; the
+    caller sums ``total_b`` for the gradient (cross-utterance terms are
+    zero, so elementwise Adam updates stay per-utterance-exact)."""
+    want_semvec = objective in ("semvec", "acoustic_semvec")
+
+    pred_mel = models.pred_model.apply(models.pred_params, xx)
+    mel_rmse = jnp.sqrt(_bmean((pred_mel - target_mel) ** 2))
+
+    vel, _acc, jerk = L.vel_acc_jerk(xx, delta_t=1.0)
+    vel_loss = _bmean(vel ** 2)
+    jerk_loss = _bmean(jerk ** 2)
+    ll_loss = _bmean(L.local_linear(xx) ** 2)
+
+    zero = jnp.zeros((xx.shape[0],), dtype=xx.dtype)
+    semvec_loss = zero
+    pred_semvec = jnp.zeros(
+        (xx.shape[0], target_semvec.shape[-1]), dtype=xx.dtype)
+    if want_semvec or log_semantics:
+        pred_semvec = models.embedder.apply(
+            models.embedder_params, pred_mel, None,
+            deterministic=False, rng=rng)
+        semvec_loss = jnp.sqrt(_bmean((pred_semvec - target_semvec) ** 2))
+
+    sc_loss = zero
+    if use_speech_classifier:
+        logits = models.speech_classifier.apply(
+            models.speech_classifier_params, pred_mel)
+        sc_loss = _bmean(
+            jnp.maximum(logits, 0.0)
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+    tube_mel_loss = zero
+    tube_semvec_loss = zero
+    pred_tube = None
+    if use_somatosensory:
+        pred_tube = models.cp_tube_model.apply(models.cp_tube_params, xx)
+        pred_tube_mel = models.tube_mel_model.apply(
+            models.tube_mel_params, pred_tube)
+        tube_mel_loss = jnp.sqrt(
+            _bmean((pred_tube_mel - target_mel) ** 2))
+        rng_tube = jax.random.fold_in(rng, 1)
+        pred_tube_semvec = models.tube_embedder.apply(
+            models.tube_embedder_params, pred_tube, None,
+            deterministic=False, rng=rng_tube)
+        tube_semvec_loss = jnp.sqrt(
+            _bmean((pred_tube_semvec - target_semvec) ** 2))
+
+    mel_w = MEL_WEIGHT * mel_rmse
+    sem_w = SEMANTIC_WEIGHT * semvec_loss
+    vel_w = VELOCITY_WEIGHT * vel_loss
+    jerk_w = JERK_WEIGHT * jerk_loss
+    ll_w = LOCAL_LINEAR_WEIGHT * ll_loss
+    sc_w = SPEECH_CLASSIFIER_WEIGHT * sc_loss
+    tmel_w = TUBE_MEL_WEIGHT * tube_mel_loss
+    tsem_w = TUBE_SEMANTIC_WEIGHT * tube_semvec_loss
+
+    total = vel_w + jerk_w + ll_w
+    if objective in ("acoustic", "acoustic_semvec"):
+        total = total + mel_w
+    if objective in ("semvec", "acoustic_semvec"):
+        total = total + sem_w
+    if use_speech_classifier:
+        total = total + sc_w
+    if use_somatosensory:
+        total = total + tsem_w + tmel_w
+
+    subs = SubLosses(total, mel_w, sem_w, vel_w, jerk_w, ll_w, sc_w,
+                     tmel_w, tsem_w)
+    return total, (subs, pred_mel, pred_semvec, pred_tube)
+
+
 class Constraints(NamedTuple):
     """Post-update trajectory projections (reference paule.py:1201-1211)."""
     clamp: float = 1.05

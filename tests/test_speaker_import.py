@@ -155,3 +155,56 @@ def test_malformed_xml_reports_missing_element(tmp_path):
         f.write_text(xml)
         with pytest.raises(ValueError, match=needle):
             speaker_import.parse_vtl_speaker(f)
+
+
+def test_calibrated_jd3_formant_orderings():
+    """The committed calibrated JD3 import (tools/calibrate_jd3.py,
+    docs/speakers.md measured table) preserves the vowel-space formant
+    structure: F1 ordering a > e > i and a > o/u, front vowels' F2 above
+    back vowels', and all formants in plausible speech ranges."""
+    import os
+
+    from paule_tpu import synth
+    from paule_tpu.dsp.formants import lpc_formants
+    from paule_tpu.synth.speaker_import import parse_vtl_speaker
+
+    ini = os.path.join(os.path.dirname(synth.__file__), "speaker",
+                       "jd3_calibrated.ini")
+    assert os.path.exists(ini), "committed calibrated speaker missing"
+
+    jd3 = "/root/reference/paule/vocaltractlab_api/JD3.speaker"
+    if not os.path.exists(jd3):
+        pytest.skip("JD3 source speaker not available for shape targets")
+    parsed = parse_vtl_speaker(jd3)
+
+    def sustained(phone, t=265):
+        tract = [parsed["tract_shapes"][phone].get(pname, ne)
+                 for _, pname, _, _, ne in parsed["tract_params"]]
+        gneutral = {r[1]: r[4] for r in parsed["glottis_params"]}
+        modal = dict(gneutral)
+        modal.update(parsed["glottis_shapes"].get(
+            "modal", parsed["glottis_shapes"].get("default", {})))
+        glottis = [modal[r[1]] for r in parsed["glottis_params"]]
+        return np.tile(np.asarray(tract + glottis), (t, 1))
+
+    synth.initialize(ini)
+    try:
+        f = {}
+        for ph in ("a", "e", "i", "o", "u"):
+            sig, sr = synth.speak(sustained(ph))
+            f[ph] = lpc_formants(sig, sr, n_formants=2)
+    finally:
+        synth.initialize()  # restore the default speaker
+
+    # F1: open 'a' above mid 'e' above close 'i'; 'a' above back vowels
+    assert f["a"][0] > f["e"][0] > f["i"][0]
+    assert f["a"][0] > f["o"][0]
+    assert f["a"][0] > f["u"][0]
+    # F2: front vowels above back vowels
+    assert f["i"][1] > f["o"][1]
+    assert f["i"][1] > f["u"][1]
+    assert f["e"][1] > f["o"][1]
+    # plausible speech ranges
+    for ph, (f1, f2) in f.items():
+        assert 150 < f1 < 1200, (ph, f1)
+        assert 500 < f2 < 3500, (ph, f2)

@@ -16,8 +16,11 @@ VocalTractLab binary:
    (dsp/formants.lpc_formants);
 3. import JD3 to our INI (anatomy-estimated base length), synthesize the
    same cps with OUR synthesizer, measure the same formants;
-4. calibrate: ONE scalar — scale ``base_length_cm`` by the measured
-   F1('a') ratio (tube resonances scale ~1/length) — then re-measure;
+4. calibrate: ONE scalar — a 1-D search over ``base_length_cm`` around
+   the anatomy estimate minimizing the mean |log F1 ratio| across the
+   measured phone set (single-phone anchors proved unstable: they fit
+   tract-shape error with a length scalar and push other phones through
+   model nonlinearities) — then re-measure;
 5. write ``paule_tpu/synth/speaker/jd3_calibrated.ini`` (committed) and
    the measured table to ``docs/measurements/jd3_formants_r04.json``.
 
@@ -39,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 JD3 = "/root/reference/paule/vocaltractlab_api/JD3.speaker"
-PHONES = ["a", "e", "i", "o", "u"]
+PHONES = ["a", "e", "i", "o", "u", "@"]
 T_FRAMES = 265  # 0.66 s sustained
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INI_OUT = os.path.join(REPO, "paule_tpu/synth/speaker/jd3_calibrated.ini")
@@ -90,11 +93,33 @@ def main():
     ours0 = {ph: formants_of(synth.speak, cps[ph]) for ph in PHONES}
     print(f"[jd3] ours (uncalibrated): {ours0}", file=sys.stderr, flush=True)
 
-    # --- one-scalar calibration on F1('a') ---
+    # --- one-scalar calibration: 1-D search over base_length_cm around
+    # the anatomy estimate, minimizing the mean |log F1 ratio| across ALL
+    # measured phones.  (Anchoring on a single phone is unstable: a trial
+    # F1('a') anchor halved the tract and wrecked every close vowel, and
+    # a schwa anchor improved schwa/o/u but pushed 'a' through a model
+    # nonlinearity.  The vowel-set objective is robust to any one phone's
+    # pole-tracking jump.) ---
     with open(tmp_ini) as fh:
         base = next(float(l.split("=")[1]) for l in fh
                     if l.startswith("base_length_cm"))
-    base_cal = base * (ours0["a"][0] / vtl["a"][0])
+
+    def f1_error(measured):
+        errs = [abs(np.log(measured[ph][0] / vtl[ph][0]))
+                for ph in PHONES if np.isfinite(measured[ph][0])]
+        return float(np.mean(errs))
+
+    candidates = {1.0: (ours0, f1_error(ours0))}
+    for scale in (0.85, 0.93, 1.08, 1.18):
+        import_speaker(JD3, "/tmp/jd3_cand.ini", name="JD3",
+                       base_length_cm=round(base * scale, 2))
+        synth.initialize("/tmp/jd3_cand.ini")
+        meas = {ph: formants_of(synth.speak, cps[ph]) for ph in PHONES}
+        candidates[scale] = (meas, f1_error(meas))
+        print(f"[jd3] scale {scale}: mean|logF1err| "
+              f"{candidates[scale][1]:.3f}", file=sys.stderr, flush=True)
+    best_scale = min(candidates, key=lambda s: candidates[s][1])
+    base_cal = base * best_scale
     import_speaker(JD3, INI_OUT, name="JD3-calibrated",
                    base_length_cm=round(base_cal, 2))
     synth.initialize(INI_OUT)
@@ -122,8 +147,14 @@ def main():
                   "synth/vtl_plant.py",
         "base_length_estimated_cm": base,
         "base_length_calibrated_cm": round(base_cal, 2),
-        "calibration": "one scalar: base_length_cm scaled by the measured "
-                       "F1('a') ratio (docs/speakers.md recipe)",
+        "calibration": "one scalar: 1-D search over base_length_cm in "
+                       "[0.85, 1.18]x the anatomy estimate minimizing "
+                       "mean |log F1 ratio| across the six measured "
+                       "phones (docs/speakers.md recipe)",
+        "candidate_scales_mean_log_f1_err": {
+            str(s): round(e, 4) for s, (_, e) in
+            sorted(candidates.items())},
+        "chosen_scale": best_scale,
         "uncalibrated_ours": ours0,
         "phones": table,
         "ini": os.path.relpath(INI_OUT, REPO),
