@@ -20,3 +20,22 @@ os.environ.setdefault("PAULE_TPU_X64", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# Two-tier suite (docs/development.md): these modules are end-to-end
+# planning/training tests (plan_resynth budgets, GAN training, dp meshes,
+# serve stack) and are auto-marked `slow`; the remaining modules are the
+# fast unit tier (`pytest -m "not slow"` < 60 s).  Individually slow tests
+# inside fast modules carry an explicit @pytest.mark.slow.
+_SLOW_MODULES = {
+    "test_api", "test_spectral", "test_pretrain", "test_parallel",
+    "test_checkpoint", "test_experiments", "test_serve",
+    "test_reference_bridge",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -185,6 +185,7 @@ def test_embedder_dropout_modes():
     assert not np.allclose(np.asarray(det), np.asarray(stoch))
 
 
+@pytest.mark.slow
 def test_generator_dynamic_length_and_range():
     model = Generator(output_size=30)
     params = model.init(RNG, dtype=F64)
@@ -248,6 +249,7 @@ def test_linear_classifier_masking_matches_torch_semantics():
         float(got_full[0]), float(got_masked[0]), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_speech_transformer_shapes():
     model = SpeechNonSpeechTransformer(input_dim=60, num_layers=2, nhead=6)
     params = model.init(RNG, dtype=F64)
@@ -256,6 +258,7 @@ def test_speech_transformer_shapes():
     assert out.shape == (2,)
 
 
+@pytest.mark.slow
 def test_baseline_models():
     lin = LinearModel(input_channel=30, output_channel=60, mode="pred",
                       on_full_sequence=True)
@@ -271,6 +274,7 @@ def test_baseline_models():
     assert out.shape == (2, 300)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_inverse_and_generator():
     inv = InverseModelMelTimeSmoothResidual(num_lstm_layers=1, hidden_size=16)
     p = inv.init(RNG, dtype=F64)

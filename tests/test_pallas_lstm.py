@@ -44,6 +44,7 @@ def test_forward_parity(batch, seq):
     np.testing.assert_allclose(np.asarray(cn_r), np.asarray(cn_p), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradient_parity():
     p = _params()
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 5),

@@ -133,6 +133,7 @@ def test_embedding_model_upsampling_variant_reference_state_dict(ref):
                        jnp.asarray(lens.numpy())), want)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("output_size", [30, 60])
 def test_generator_reference_state_dict(ref, output_size):
     """cp_gen (30) and mel_gen (60) layouts (paule.py:190-208)."""
