@@ -135,9 +135,14 @@ def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
         from ..ops.normalize import inv_normalize_cp
 
         pool = paule_obj._synth_pool
-        sigs = list(paule_obj._executor.map(
-            lambda cp: pool.speak(inv_normalize_cp(cp))[0],
-            out["planned_cp"]))
+        if hasattr(pool, "speak_batch"):
+            audio, _sr, _errors = pool.speak_batch(
+                inv_normalize_cp(out["planned_cp"]))
+            sigs = list(audio)
+        else:
+            sigs = list(paule_obj._executor.map(
+                lambda cp: pool.speak(inv_normalize_cp(cp))[0],
+                out["planned_cp"]))
         out["prod_sigs"] = sigs
     return out
 
@@ -255,14 +260,25 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
                 tube = (np.zeros((cp.shape[0], 10)) if use_somato else None)
                 return np.zeros(n_audio), 44100, tube
 
-        # start each signal's host->device upload as its synthesis finishes
-        # so the transfer overlaps with the remaining utterances' synthesis
-        results, sig_devs = [], []
         host_dtype = np.float64 if dtype == jnp.float64 else np.float32
-        for res in paule_obj._executor.map(synth_one, cps):
-            results.append(res)
-            sig_devs.append(jax.device_put(
-                np.asarray(res[0], dtype=host_dtype)))
+        if hasattr(paule_obj.plant, "speak_batch"):
+            # the bucket's trajectories are same-length: ONE native
+            # crossing for the whole batch + one stacked upload (same
+            # path/error policy as Paule._synthesize_batch)
+            results = paule_obj._synthesize_batch(cps)
+            sig_devs = [jax.device_put(np.stack(
+                [np.asarray(sig, dtype=host_dtype)
+                 for sig, _sr, _tube in results]))]
+        else:
+            # per-utterance plant (e.g. injected VTLPlant): start each
+            # signal's host->device upload as its synthesis finishes so
+            # the transfer overlaps with the remaining utterances'
+            # synthesis
+            results, sig_devs = [], []
+            for res in paule_obj._executor.map(synth_one, cps):
+                results.append(res)
+                sig_devs.append(jax.device_put(
+                    np.asarray(res[0], dtype=host_dtype)))
         sigs = [sig for sig, _sr, _tube in results]
         prod_tubes = (np.stack([tube for _s, _r, tube in results])
                       if use_somato else None)

@@ -36,7 +36,7 @@ def create_epoch_batches(df_length, batch_size, shuffle=True,
 
     if same_size_batching:
         epoch = []
-        foundlings = []
+        leftovers = []
         for length in np.sort(list(training_length_dict.keys())):
             length_idxs = list(training_length_dict[length])
             rest = len(length_idxs) % batch_size
@@ -46,15 +46,15 @@ def create_epoch_batches(df_length, batch_size, shuffle=True,
                 for i in range(len(length_idxs) // batch_size)
             ]
             if rest > 0:
-                foundlings += list(length_idxs[-rest:])
-        foundlings = np.asarray(foundlings)
-        rest = len(foundlings) % batch_size
+                leftovers += list(length_idxs[-rest:])
+        leftovers = np.asarray(leftovers)
+        rest = len(leftovers) % batch_size
         epoch += [
-            foundlings[i * batch_size : (i + 1) * batch_size]
-            for i in range(len(foundlings) // batch_size)
+            leftovers[i * batch_size : (i + 1) * batch_size]
+            for i in range(len(leftovers) // batch_size)
         ]
         if rest > 0:
-            epoch += [foundlings[-rest:]]
+            epoch += [leftovers[-rest:]]
         rng.shuffle(epoch)
         return epoch
 

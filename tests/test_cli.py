@@ -29,6 +29,7 @@ def test_sysinfo(capsys):
     assert "paule_tpu" in out
 
 
+@pytest.mark.slow
 def test_plan(tmp_path, target_wav, capsys):
     save = str(tmp_path / "out" / "word")
     cli.main(["plan", "--target", target_wav, "--save", save,

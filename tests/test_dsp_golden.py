@@ -79,6 +79,7 @@ def test_silence_anchor_value(golden):
     assert got[0, 0] == pytest.approx(anchor, abs=1e-8)
 
 
+@pytest.mark.slow
 def test_time_register_ambiguity_band():
     """The ONE place resampy generations disagree is the floating-point
     expression for the output-sample time register (resample.py docstring).

@@ -27,6 +27,7 @@ RNG = jax.random.PRNGKey(0)
 F64 = jnp.float64
 
 
+@pytest.mark.slow
 def test_forward_model_shapes_jit_grad():
     model = ForwardModel(num_lstm_layers=1, hidden_size=32)
     params = model.init(RNG, dtype=F64)
@@ -163,6 +164,7 @@ def test_forward_full_variant_shapes():
     assert out.shape == (1, 6, 60)
 
 
+@pytest.mark.slow
 def test_mel_embedding_full_variant_shapes():
     model = MelEmbeddingModelMelSmoothResidualUpsampling(
         num_lstm_layers=1, hidden_size=16, post_upsampling_size=64)
@@ -171,6 +173,7 @@ def test_mel_embedding_full_variant_shapes():
     assert out.shape == (2, 300)
 
 
+@pytest.mark.slow
 def test_embedder_dropout_modes():
     model = EmbeddingModel(input_size=10, hidden_size=8, num_lstm_layers=2,
                            dropout=0.7)
@@ -197,6 +200,7 @@ def test_generator_dynamic_length_and_range():
         assert (np.abs(np.asarray(out)) <= 1.0).all()  # tanh output
 
 
+@pytest.mark.slow
 def test_mel_generator_output_size():
     model = Generator(output_size=60)
     params = model.init(RNG, dtype=F64)
@@ -213,6 +217,7 @@ def test_critic_scalar_output():
     assert out.shape == (3,)
 
 
+@pytest.mark.slow
 def test_semvec_to_trajectory_models():
     cp_model = SemVecToCpModel(num_lstm_layers=1, hidden_size=16)
     out = cp_model.apply(cp_model.init(RNG, dtype=F64),
@@ -224,6 +229,7 @@ def test_semvec_to_trajectory_models():
     assert out.shape == (1, 8, 60)
 
 
+@pytest.mark.slow
 def test_lstm_gan_pair():
     gen = LSTMGenerator()
     params = gen.init(RNG, dtype=F64)

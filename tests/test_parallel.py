@@ -212,3 +212,93 @@ def test_plan_batch_resynth_speech_classifier_metrics():
     assert "prod_sc_loss_curve" in out
     assert out["prod_sc_loss_curve"].shape == (1, 2)
     assert np.isfinite(out["prod_sc_loss_curve"]).all()
+
+
+def test_criterion_batched_equals_per_utterance():
+    """engine.criterion_batched's per-utterance totals/sub-losses and the
+    gradient of their sum equal B independent engine.criterion calls
+    (the r4 natively-batched formulation that replaced the vmapped one)."""
+    bundle = _bundle()
+    B, T = 4, 12
+    rng = np.random.default_rng(7)
+    xx = jnp.asarray(rng.normal(0, 0.1, (B, T, 30)))
+    tmel = jnp.asarray(rng.normal(0, 0.5, (B, T // 2, 60)))
+    tsem = jnp.asarray(rng.normal(0, 0.5, (B, 300)))
+    key = jax.random.PRNGKey(11)
+    kw = dict(objective="acoustic_semvec", use_speech_classifier=False,
+              use_somatosensory=False, log_semantics=True, rng=key)
+
+    total_b, (subs_b, pred_mel_b, pred_semvec_b, _) = \
+        engine.criterion_batched(bundle, xx, tmel, tsem, **kw)
+    grad_b = jax.grad(
+        lambda x: jnp.sum(engine.criterion_batched(
+            bundle, x, tmel, tsem, **kw)[0]))(xx)
+
+    for b in range(B):
+        total_1, (subs_1, pm_1, ps_1, _) = engine.criterion(
+            bundle, xx[b:b + 1], tmel[b:b + 1], tsem[b:b + 1], **kw)
+        np.testing.assert_allclose(total_b[b], total_1, rtol=1e-10)
+        for name in subs_1._fields:
+            np.testing.assert_allclose(
+                getattr(subs_b, name)[b], getattr(subs_1, name),
+                rtol=1e-10, err_msg=name)
+        np.testing.assert_allclose(pred_mel_b[b], pm_1[0], rtol=1e-10)
+        np.testing.assert_allclose(pred_semvec_b[b], ps_1[0], rtol=1e-10)
+        grad_1 = jax.grad(lambda x: engine.criterion(
+            bundle, x[None], tmel[b:b + 1], tsem[b:b + 1], **kw)[0])(xx[b])
+        np.testing.assert_allclose(grad_b[b], grad_1,
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_criterion_batched_equals_per_utterance_variants():
+    """Same equivalence for the speech-classifier and somatosensory
+    branches of criterion_batched."""
+    from paule_tpu.models import LinearClassifier
+
+    rng0 = jax.random.PRNGKey(2)
+    ks = jax.random.split(rng0, 6)
+    pred = ForwardModel(num_lstm_layers=1, hidden_size=32)
+    emb = EmbeddingModel(num_lstm_layers=1, hidden_size=32)
+    sc = LinearClassifier(input_dim=60, output_dim=1)
+    cp_tube = ForwardModel(num_lstm_layers=1, hidden_size=16,
+                           output_size=10, input_size=30,
+                           apply_half_sequence=False)
+    tube_mel = ForwardModel(num_lstm_layers=1, hidden_size=16,
+                            output_size=60, input_size=10,
+                            apply_half_sequence=True)
+    # dropout=0 so the one-rng-vs-per-utterance-rng difference is inert
+    tube_emb = EmbeddingModel(input_size=10, num_lstm_layers=1,
+                              hidden_size=16, dropout=0.0,
+                              post_upsampling_size=0)
+    bundle = engine.ModelBundle(
+        pred_model=pred, pred_params=pred.init(ks[0], F64),
+        embedder=emb, embedder_params=emb.init(ks[1], F64),
+        speech_classifier=sc, speech_classifier_params=sc.init(ks[2], F64),
+        cp_tube_model=cp_tube, cp_tube_params=cp_tube.init(ks[3], F64),
+        tube_mel_model=tube_mel, tube_mel_params=tube_mel.init(ks[4], F64),
+        tube_embedder=tube_emb, tube_embedder_params=tube_emb.init(
+            ks[5], F64))
+
+    B, T = 3, 12
+    rng = np.random.default_rng(8)
+    xx = jnp.asarray(rng.normal(0, 0.1, (B, T, 30)))
+    tmel = jnp.asarray(rng.normal(0, 0.5, (B, T // 2, 60)))
+    tsem = jnp.asarray(rng.normal(0, 0.5, (B, 300)))
+    key = jax.random.PRNGKey(13)
+
+    for variant in ({"use_speech_classifier": True,
+                     "use_somatosensory": False},
+                    {"use_speech_classifier": False,
+                     "use_somatosensory": True}):
+        kw = dict(objective="acoustic_semvec", log_semantics=True,
+                  rng=key, **variant)
+        total_b, (subs_b, _pm, _ps, _pt) = engine.criterion_batched(
+            bundle, xx, tmel, tsem, **kw)
+        for b in range(B):
+            total_1, (subs_1, _, _, _) = engine.criterion(
+                bundle, xx[b:b + 1], tmel[b:b + 1], tsem[b:b + 1], **kw)
+            np.testing.assert_allclose(total_b[b], total_1, rtol=1e-10)
+            for name in subs_1._fields:
+                np.testing.assert_allclose(
+                    getattr(subs_b, name)[b], getattr(subs_1, name),
+                    rtol=1e-10, err_msg=f"{variant} {name}")

@@ -114,6 +114,7 @@ def _assert_same_tree(got, torch_file, kind):
                                    atol=0, rtol=0)
 
 
+@pytest.mark.slow
 def test_all_acoustic_slots_filled_from_tree(tree):
     p = Paule(pretrained_dir=str(tree), use_speech_classifier=True)
     for key, attr in [("predictive", "pred_params"),
@@ -126,6 +127,7 @@ def test_all_acoustic_slots_filled_from_tree(tree):
                           CONVERT_KIND[key])
 
 
+@pytest.mark.slow
 def test_somatosensory_filename_filters(tree):
     """The three files share somatosensory/; the loader must route each by
     its cp_to_tube/tube_to_mel/tube_to_vector filename marker."""

@@ -5,9 +5,9 @@ utterance corpus with ``experiments.plan_corpus_batched``, and reports the
 final produced-mel-loss distribution, plus a ``plan_iterative`` vs
 single-shot comparison on one long utterance.  Artifacts:
 
-* ``docs/measurements/results_loss_r03.txt`` — per-utterance final losses
+* ``docs/measurements/results_loss_r04.txt`` — per-utterance final losses
   (the reference notebook's ``results_loss.txt`` format, cells 29-37)
-* ``docs/measurements/corpus_r03.json`` — summary statistics
+* ``docs/measurements/corpus_r04.json`` — summary statistics
 
 Run (real TPU, ~20-40 min): PYTHONPATH=. python tools/corpus_quality_run.py
 Tunables: CORPUS_N (default 50), CORPUS_OUTER/INNER (default 10/25 — the
@@ -124,7 +124,7 @@ def main():
 
     # results_loss.txt (reference notebook format)
     os.makedirs(OUT_DIR, exist_ok=True)
-    txt = os.path.join(OUT_DIR, "results_loss_r03.txt")
+    txt = os.path.join(OUT_DIR, "results_loss_r04.txt")
     with open(txt, "w") as fh:
         fh.write("file\tlabel\tprod_loss\tprod_loss_outer1"
                  "\tprod_loss_preplan\n")
@@ -176,7 +176,7 @@ def main():
         },
         "total_wall_s": round(time.perf_counter() - t_start, 1),
     }
-    with open(os.path.join(OUT_DIR, "corpus_r03.json"), "w") as fh:
+    with open(os.path.join(OUT_DIR, "corpus_r04.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps(summary))
     return 0
