@@ -49,16 +49,26 @@ def _fit_slope(ts, walls):
 
 
 def time_fn(fn, *args, reps=REPS):
+    """Min hot wall with a forced scalar fetch per rep: on the tunneled
+    backend ``block_until_ready`` sporadically returns before execution,
+    so a real value fetch guards every reading, and readings below the
+    ~28 ms dispatch floor are discarded as async artifacts."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
+    def sync(out):
+        # fetch ONE scalar (device-side slice first: np.asarray on the full
+        # array would drag megabytes through the tunnel and poison the wall)
+        leaf = jax.tree.leaves(out)[0]
+        float(leaf.ravel()[0])
+
+    sync(fn(*args))  # compile + warm
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        sync(fn(*args))
+        w = time.perf_counter() - t0
+        if w >= 5e-3:
+            best = min(best, w)
     return best
 
 
@@ -99,8 +109,11 @@ def measure_lstm_chain(batch, hidden, t_lens, *, backward):
 
 
 def measure_planning_step(batch):
-    """Hot per-inner-step wall of the REAL planning scan at the bench
-    shape (n_steps=25, acoustic_semvec, log_ii=1)."""
+    """Per-inner-step cost of the REAL planning scan at the bench shape
+    (acoustic_semvec, log_ii=1), as the SLOPE of wall(n_steps) over
+    n_steps in {5, 25, 50} — a naive wall/n_steps would smear the ~28 ms
+    tunnel dispatch intercept over the steps (+~1.1 ms/step at n=25),
+    which is dispatch latency of this host's relay, not device work."""
     import jax
     import jax.numpy as jnp
 
@@ -126,13 +139,16 @@ def measure_planning_step(batch):
         tsem = jnp.zeros((1, 300), dtype=DTYPE)
         opt_state = init_opt_state(xx, 0.01)
 
-        def run():
-            return plan_segment(
-                params_dynamic, models_static, xx, opt_state, tmel, tsem,
-                jax.random.PRNGKey(1), n_steps=25,
-                objective="acoustic_semvec", use_speech_classifier=False,
-                use_somatosensory=False, log_semantics=True,
-                constraints=Constraints(), lr=0.01, log_every=1)[0]
+        def make_run(n):
+            def run():
+                return plan_segment(
+                    params_dynamic, models_static, xx, opt_state, tmel,
+                    tsem, jax.random.PRNGKey(1), n_steps=n,
+                    objective="acoustic_semvec",
+                    use_speech_classifier=False, use_somatosensory=False,
+                    log_semantics=True, constraints=Constraints(), lr=0.01,
+                    log_every=1)[0]
+            return run
     else:
         from paule_tpu.parallel import batched
         from paule_tpu.planning.engine import Constraints
@@ -142,16 +158,22 @@ def measure_planning_step(batch):
         tsem = jnp.zeros((batch, 300), dtype=DTYPE)
         opt_state = batched.init_batched_opt_state(xx, 0.01)
 
-        def run():
-            return batched.plan_segment_batched(
-                params_dynamic, models_static, xx, opt_state, tmel, tsem,
-                jax.random.PRNGKey(1), n_steps=25,
-                objective="acoustic_semvec", use_speech_classifier=False,
-                use_somatosensory=False, log_semantics=True,
-                constraints=Constraints(), lr=0.01)[0]
+        def make_run(n):
+            def run():
+                return batched.plan_segment_batched(
+                    params_dynamic, models_static, xx, opt_state, tmel,
+                    tsem, jax.random.PRNGKey(1), n_steps=n,
+                    objective="acoustic_semvec",
+                    use_speech_classifier=False, use_somatosensory=False,
+                    log_semantics=True, constraints=Constraints(),
+                    lr=0.01)[0]
+            return run
 
-    wall = time_fn(lambda: run(), reps=8)
-    return wall / 25.0
+    step_counts = (5, 25, 50)
+    walls = {n: time_fn(make_run(n), reps=8) for n in step_counts}
+    ns = np.array(list(walls), dtype=np.float64)
+    ws = np.array(list(walls.values()), dtype=np.float64)
+    return float(np.polyfit(ns, ws, 1)[0])
 
 
 def main():
@@ -209,7 +231,8 @@ def main():
         "(fwd, and fwd+grad) at H=720, T in {51,201,402,804}, min of "
         f"{REPS} reps each; derived floor per planning inner step = "
         "402*fwdbwd_slope (pred) + 2*201*fwdbwd_slope (embedder depth-2); "
-        "measured = hot wall of the real 25-step plan_segment / 25")
+        "measured = slope of wall(n_steps) of the real plan_segment at "
+        "n_steps in {5,25,50} (cancels the ~28 ms tunnel dispatch)")
     os.makedirs("docs/measurements", exist_ok=True)
     with open("docs/measurements/roofline_r04.json", "w") as fh:
         json.dump(out, fh, indent=1)
