@@ -140,6 +140,10 @@ class Paule:
         #: learning dispatch (hides the fetch behind training compute);
         #: attribute toggle for A/B measurement
         self.defer_metrics_fetch = True
+        #: overlap mode: start non-blocking host copies of every planning
+        #: chunk's logs at dispatch time, collapsing the per-chunk blocking
+        #: round trips into ~one; attribute toggle for A/B measurement
+        self.async_chunk_fetch = True
         self._overlap_chunks = (plan_overlap if isinstance(plan_overlap, int)
                                 and not isinstance(plan_overlap, bool)
                                 else 2)
@@ -980,6 +984,18 @@ class Paule:
                         lr=learning_rate_planning, log_every=log_ii)
                     chunk_outs.append(seg_out)
                     c0 = c1
+                # start non-blocking host copies of EVERY chunk's logs up
+                # front: each copy fires as its chunk completes on device,
+                # so the in-order collects below pay ~one tunnel round
+                # trip total instead of one (~28 ms) per chunk
+                fetch_trees = [_fetch_of(so) for so in chunk_outs]
+                if self.async_chunk_fetch:
+                    for ft in fetch_trees:
+                        for leaf in jax.tree.leaves(ft):
+                            try:
+                                leaf.copy_to_host_async()
+                            except AttributeError:  # pragma: no cover
+                                break
                 # previous iteration's fetches, now queued behind the
                 # dispatched planning chunks
                 _t0 += flush_deferred()
@@ -988,8 +1004,8 @@ class Paule:
                 synth_futures = []
                 host_chunks = []
                 snap64_chunks = []
-                for so in chunk_outs:
-                    hc = jax.device_get(_fetch_of(so))
+                for ft in fetch_trees:
+                    hc = jax.device_get(ft)
                     rows = np.asarray(hc.pop("xx_pre"), dtype=np.float64)
                     snap64_chunks.append(rows)
                     if hasattr(self.plant, "speak_batch"):

@@ -296,6 +296,26 @@ def test_plan_overlap_exact_with_remainder(target):
                                   r2.planned_loss_steps)
 
 
+def test_plan_async_chunk_fetch_exact(target):
+    """async_chunk_fetch (non-blocking host copies of the planning chunks'
+    logs, started at dispatch time) only changes WHEN transfers happen —
+    every returned series is bit-identical with it off."""
+    kw = dict(target_acoustic=target, objective="acoustic_semvec",
+              initialize_from="acoustic", continue_learning=True,
+              n_outer=2, n_inner=6, log_ii=2, n_batches=1, batch_size=2,
+              n_epochs=1, verbose=False)
+    p1 = Paule(seed=11, plan_overlap=True)
+    p1.async_chunk_fetch = False
+    r1 = p1.plan_resynth(**kw)
+    p2 = Paule(seed=11, plan_overlap=True)
+    assert p2.async_chunk_fetch  # the default
+    r2 = p2.plan_resynth(**kw)
+    np.testing.assert_array_equal(r1.planned_cp, r2.planned_cp)
+    np.testing.assert_array_equal(r1.planned_loss_steps,
+                                  r2.planned_loss_steps)
+    np.testing.assert_array_equal(r1.prod_loss_steps, r2.prod_loss_steps)
+
+
 def test_plan_iterative(paule_model, target):
     sig, sr = target
     planned_cp, results = paule_model.plan_iterative(
