@@ -220,6 +220,53 @@ Speaker Speaker::load(const std::string& path, std::string* err) {
       if (tok == "base_length_cm") s.base_length_cm = v;
       if (tok == "fold_length_cm") s.fold_length_cm = v;
       if (tok == "nasal_length_cm") s.nasal_length_cm = v;
+    } else if (section == "tract_map") {
+      std::string eq;
+      double v;
+      ls >> eq >> v;
+      auto& m = s.tract_map;
+      if (tok == "gain_body") m.gain_body = v;
+      if (tok == "exp_body") m.exp_body = v;
+      if (tok == "gain_blade") m.gain_blade = v;
+      if (tok == "exp_blade") m.exp_blade = v;
+      if (tok == "gain_tip") m.gain_tip = v;
+      if (tok == "exp_tip") m.exp_tip = v;
+      if (tok == "gain_root") m.gain_root = v;
+      if (tok == "exp_root") m.exp_root = v;
+      if (tok == "lip_factor") m.lip_factor = v;
+    } else if (section == "tract_affine") {
+      // "area <i> <coef...>" / "length <coef...>" / "incisor <coef...>"
+      // / "tongue_tip <coef...>" / "velum <coef...>"
+      auto& ta = s.tract_affine;
+      auto read_coefs = [&ls]() {
+        std::vector<double> c;
+        double v;
+        while (ls >> v) c.push_back(v);
+        return c;
+      };
+      if (tok == "area") {
+        int idx;
+        if (ls >> idx) {
+          std::vector<double> c = read_coefs();
+          if (idx >= 0 && idx < kTubeSections && !c.empty()) {
+            if (ta.n_coef == 0) {
+              ta.n_coef = (int)c.size();
+              ta.area.assign(kTubeSections * ta.n_coef, 0.0);
+            }
+            if ((int)c.size() == ta.n_coef)
+              std::copy(c.begin(), c.end(),
+                        ta.area.begin() + idx * ta.n_coef);
+          }
+        }
+      } else if (tok == "length") {
+        ta.length = read_coefs();
+      } else if (tok == "incisor") {
+        ta.incisor = read_coefs();
+      } else if (tok == "tongue_tip") {
+        ta.tongue_tip = read_coefs();
+      } else if (tok == "velum") {
+        ta.velum = read_coefs();
+      }
     } else if (section == "tract_params" || section == "glottis_params") {
       // "<index> <name> <min> <max> <neutral>"
       int idx = std::stoi(tok);
@@ -289,6 +336,7 @@ struct TractGeometry {
   double c_body, p_body, c_blade, p_blade, c_tip, p_tip, c_root, p_root;
   double try_narrow;
   double ts1, ts2, ts3;
+  double lip_factor;
   // constriction amplitudes (hoisted out of the per-section loop: they
   // depend only on the proximity values, not on x)
   double a_body, a_blade, a_tip, a_root;
@@ -321,10 +369,21 @@ TractGeometry make_geometry(const Speaker& spk, const double* q) {
   g.ts1 = clampd(TS1, 0.0, 1.0);
   g.ts2 = clampd(TS2, 0.0, 1.0);
   g.ts3 = clampd(TS3, -1.0, 1.0);
-  g.a_body = 1.60 * g.p_body * g.p_body * g.p_body;
-  g.a_blade = 1.50 * g.p_blade * g.p_blade;
-  g.a_tip = 1.30 * g.p_tip * g.p_tip;
-  g.a_root = 0.70 * g.p_root * g.p_root + 0.25 * g.try_narrow;
+  // proximity -> closing amplitude, per articulator; integer exponents go
+  // through plain multiplies so the default map is bit-identical to the
+  // pre-[tract_map] geometry
+  auto amp = [](double gain, double e, double p) {
+    if (e == 3.0) return gain * p * p * p;
+    if (e == 2.0) return gain * p * p;
+    if (e == 1.0) return gain * p;
+    return p <= 0.0 ? 0.0 : gain * std::pow(p, e);
+  };
+  const Speaker::TractMap& m = spk.tract_map;
+  g.a_body = amp(m.gain_body, m.exp_body, g.p_body);
+  g.a_blade = amp(m.gain_blade, m.exp_blade, g.p_blade);
+  g.a_tip = amp(m.gain_tip, m.exp_tip, g.p_tip);
+  g.a_root = amp(m.gain_root, m.exp_root, g.p_root) + 0.25 * g.try_narrow;
+  g.lip_factor = m.lip_factor;
   return g;
 }
 
@@ -347,7 +406,7 @@ double TractGeometry::d(double x) const {
   // lips: blend toward the lip-distance aperture near the mouth opening
   // (the LD parameter is itself a sagittal distance in cm)
   double ls = clampd((x - 0.90) / 0.07, 0.0, 1.0);
-  dist = lerp(dist, 0.8 * lip_dist, ls);
+  dist = lerp(dist, lip_factor * lip_dist, ls);
   return dist;
 }
 
@@ -398,17 +457,70 @@ const TractTables& tract_tables() {
 
 }  // namespace
 
+namespace {
+
+// evaluate one [tract_affine] row: b + sum w_j q_j (+ sum v_j q_j^2)
+double affine_eval(const double* c, int n_coef, const double* q) {
+  double s = c[0];
+  for (int j = 0; j < kTractParams; ++j) s += c[1 + j] * q[j];
+  if (n_coef >= 1 + 2 * kTractParams)
+    for (int j = 0; j < kTractParams; ++j)
+      s += c[1 + kTractParams + j] * q[j] * q[j];
+  return s;
+}
+
+// fitted tube map: per-section log-areas (and optionally total length /
+// extraction scalars) from the speaker's [tract_affine] coefficients,
+// fitted against an external tract model (speaker_import.fit_tract_affine)
+void tract_to_tube_affine(const Speaker& spk, const double* q, Tube* tube) {
+  const auto& ta = spk.tract_affine;
+  const TractTables& tt = tract_tables();
+  TractGeometry g = make_geometry(spk, q);  // geometric fallback scalars
+
+  double length = g.length_cm;
+  if ((int)ta.length.size() == ta.n_coef)
+    length = clampd(affine_eval(ta.length.data(), ta.n_coef, q), 4.0, 30.0);
+  const double sec_len = length / kTubeSections;
+  for (int i = 0; i < kTubeSections; ++i) {
+    double log_area = affine_eval(ta.area.data() + i * ta.n_coef,
+                                  ta.n_coef, q);
+    log_area = clampd(log_area, -9.0, 2.71);  // area in [~1.2e-4, 15]
+    tube->length_cm[i] = sec_len;
+    tube->area_cm2[i] = fast_exp(log_area);
+    tube->articulator[i] = tt.articulator[i];
+  }
+  tube->total_length_cm = length;
+  tube->incisor_pos_cm =
+      (int)ta.incisor.size() == ta.n_coef
+          ? clampd(affine_eval(ta.incisor.data(), ta.n_coef, q), 10.0, 22.0)
+          : clampd(length * 0.90 + 0.8 + 0.4 * q[2], 14.0, 18.0);
+  tube->tongue_tip_side_elevation =
+      (int)ta.tongue_tip.size() == ta.n_coef
+          ? affine_eval(ta.tongue_tip.data(), ta.n_coef, q)
+          : g.ts3;
+  tube->velum_opening_cm2 =
+      (int)ta.velum.size() == ta.n_coef
+          ? clampd(affine_eval(ta.velum.data(), ta.n_coef, q), 0.0, 1.0)
+          : clampd(g.velum_open, 0.0, 1.0);
+}
+
+}  // namespace
+
 void tract_to_tube(const Speaker& spk, const double* tract, Tube* tube) {
   std::array<double, kTractParams> q;
   std::memcpy(q.data(), tract, sizeof(q));
   spk.clamp_tract(q.data());
+  if (spk.tract_affine.present()) {
+    tract_to_tube_affine(spk, q.data(), tube);
+    return;
+  }
   TractGeometry g = make_geometry(spk, q.data());
   const TractTables& tt = tract_tables();
 
   // hoist the loop-invariant scalars (same arithmetic as the inline path)
   const double sec_len = g.length_cm / kTubeSections;
   const double jaw_term = 0.9 * (g.jaw_open - 2.0 / 7.0);
-  const double lip_target = 0.8 * g.lip_dist;
+  const double lip_target = g.lip_factor * g.lip_dist;
   const double vs30 = 0.30 * g.vs;
   const double ts1f = 0.45 * g.ts1, ts2f = 0.45 * g.ts2;
   const bool ts3_up = g.ts3 > 0;
@@ -1117,6 +1229,41 @@ int save_speaker(const Speaker& spk, const std::string& path) {
   out << "base_length_cm = " << spk.base_length_cm << "\n";
   out << "fold_length_cm = " << spk.fold_length_cm << "\n";
   out << "nasal_length_cm = " << spk.nasal_length_cm << "\n";
+  out << "[tract_map]\n";
+  {
+    const auto& m = spk.tract_map;
+    out << "gain_body = " << m.gain_body << "\n";
+    out << "exp_body = " << m.exp_body << "\n";
+    out << "gain_blade = " << m.gain_blade << "\n";
+    out << "exp_blade = " << m.exp_blade << "\n";
+    out << "gain_tip = " << m.gain_tip << "\n";
+    out << "exp_tip = " << m.exp_tip << "\n";
+    out << "gain_root = " << m.gain_root << "\n";
+    out << "exp_root = " << m.exp_root << "\n";
+    out << "lip_factor = " << m.lip_factor << "\n";
+  }
+  if (spk.tract_affine.present()) {
+    const auto& ta = spk.tract_affine;
+    out << "[tract_affine]\n";
+    out.precision(12);
+    for (int i = 0; i < kTubeSections; ++i) {
+      out << "area " << i;
+      for (int c = 0; c < ta.n_coef; ++c)
+        out << " " << ta.area[i * ta.n_coef + c];
+      out << "\n";
+    }
+    auto row = [&out, &ta](const char* name, const std::vector<double>& v) {
+      if ((int)v.size() != ta.n_coef) return;
+      out << name;
+      for (double c : v) out << " " << c;
+      out << "\n";
+    };
+    row("length", ta.length);
+    row("incisor", ta.incisor);
+    row("tongue_tip", ta.tongue_tip);
+    row("velum", ta.velum);
+    out.precision(6);
+  }
   out << "[tract_params]\n";
   for (size_t i = 0; i < spk.tract_params.size(); ++i) {
     auto& p = spk.tract_params[i];

@@ -59,6 +59,38 @@ struct Speaker {
   double base_length_cm = 16.0;
   double fold_length_cm = 1.4;
   double nasal_length_cm = 11.4;
+  // tract-map coefficients: how strongly each tongue articulator's
+  // proximity closes the sagittal distance, and how far the lip blend
+  // follows the LD aperture.  Defaults reproduce the builtin geometry
+  // bit-for-bit; speaker files may override them ([tract_map] section)
+  // so an imported speaker's formant SPACE — not just its scale — can be
+  // calibrated against measured acoustics (docs/speakers.md).
+  struct TractMap {
+    double gain_body = 1.60, exp_body = 3.0;
+    double gain_blade = 1.50, exp_blade = 2.0;
+    double gain_tip = 1.30, exp_tip = 2.0;
+    double gain_root = 0.70, exp_root = 2.0;
+    double lip_factor = 0.8;
+  } tract_map;
+  // optional FITTED tube map ([tract_affine] section): per-section
+  // log-area as an affine(+quadratic) function of the 19 tract params,
+  // fitted at import time against an external tract model's area
+  // functions (e.g. VTL's vtlTractToTube ground truth —
+  // speaker_import.fit_tract_affine).  Empty -> the geometric model
+  // above.  Row layout: [b, w_0..w_18] (20 coeffs, affine) or
+  // [b, w_0..w_18, v_0..v_18] (39 coeffs, + squared features).
+  struct TractAffine {
+    int n_coef = 0;                 // 0 = absent; else 20 or 39
+    std::vector<double> area;       // kTubeSections * n_coef (log-area)
+    std::vector<double> length;     // n_coef (total length, cm) or empty
+    std::vector<double> incisor;    // n_coef or empty
+    std::vector<double> tongue_tip; // n_coef or empty
+    std::vector<double> velum;      // n_coef or empty
+    bool present() const {
+      return n_coef > 0 &&
+             (int)area.size() == kTubeSections * n_coef;
+    }
+  } tract_affine;
   // phone target table: phone -> 30 parameter targets
   struct Phone {
     std::string name;

@@ -237,12 +237,156 @@ def to_ini(parsed, *, name=None, base_length_cm=None, voiceless=()):
     return "\n".join(lines) + "\n"
 
 
+def fit_tract_affine(parsed, tract_to_tube_fn, *, n_samples=1500, seed=0,
+                     ridge=1e-4, quadratic=True, area_floor_cm2=1e-2,
+                     shape_weight=6):
+    """Fit a ``[tract_affine]`` tube map against an external tract model.
+
+    ``tract_to_tube_fn(tract_row (19,)) -> dict`` must return the ground
+    truth for one tract state: ``tube_length_cm (40,)``,
+    ``tube_area_cm2 (40,)``, ``incisor_pos_cm``,
+    ``tongue_tip_side_elevation``, ``velum_opening_cm2`` — e.g.
+    :meth:`paule_tpu.synth.vtl_plant.VTLPlant.tract_to_tube`, the
+    authentic VTL's own ``vtlTractToTube`` (reference surface:
+    /root/reference/paule/util.py:389-416).
+
+    The functional geometric model (make_geometry, model.cpp) spans a far
+    smaller area dynamic range than VTL's 3-D anatomy (~0.3-4 cm² vs
+    0.25-8 cm² — measured in docs/speakers.md), which compresses the
+    imported speaker's formant space.  This fit replaces the geometric
+    area map entirely: per-section log-area (resampled onto our uniform
+    40-section grid) as a ridge-regressed affine(+squared) function of
+    the 19 tract params, sampled over the speaker's shape inventory,
+    convex shape combinations, jittered shapes, and uniform range draws.
+
+    Returns a dict with ``area (40, n_coef)``, ``length``, ``incisor``,
+    ``tongue_tip``, ``velum`` (each ``(n_coef,)``) in RAW-parameter
+    feature space ``[1, q, q^2]``, plus fit diagnostics.
+    """
+    import numpy as np
+
+    tract = parsed["tract_params"]
+    lo = np.array([r[2] for r in tract])
+    hi = np.array([r[3] for r in tract])
+    mid = 0.5 * (lo + hi)
+    half = np.maximum(0.5 * (hi - lo), 1e-9)
+
+    shapes = np.array([
+        np.clip([sh.get(pname, ne) for _, pname, _, _, ne in tract], lo, hi)
+        for sh in parsed["tract_shapes"].values()])
+    rng = np.random.default_rng(seed)
+    # the shape inventory is what plans/validations actually visit — weight
+    # it above the space-filling samples by replication
+    samples = [np.repeat(shapes, max(1, int(shape_weight)), axis=0)]
+    n_extra = max(0, n_samples - len(samples[0]))
+    n_mix = int(0.45 * n_extra)
+    n_jit = int(0.35 * n_extra)
+    n_uni = n_extra - n_mix - n_jit
+    if len(shapes) >= 2 and n_mix:
+        i1 = rng.integers(0, len(shapes), n_mix)
+        i2 = rng.integers(0, len(shapes), n_mix)
+        alpha = rng.uniform(0, 1, (n_mix, 1))
+        samples.append(alpha * shapes[i1] + (1 - alpha) * shapes[i2])
+    if len(shapes) and n_jit:
+        ij = rng.integers(0, len(shapes), n_jit)
+        jit = rng.normal(0, 0.08, (n_jit, 19)) * (hi - lo)
+        samples.append(np.clip(shapes[ij] + jit, lo, hi))
+    if n_uni:
+        samples.append(rng.uniform(lo, hi, (n_uni, 19)))
+    Q = np.concatenate(samples)
+
+    uniform_mid = (np.arange(40) + 0.5) / 40.0
+    y_logarea = np.empty((len(Q), 40))
+    y_scalars = np.empty((len(Q), 4))  # length, incisor, tts, velum
+    for n, q in enumerate(Q):
+        gt = tract_to_tube_fn(q)
+        lens = np.asarray(gt["tube_length_cm"], dtype=np.float64)
+        area = np.asarray(gt["tube_area_cm2"], dtype=np.float64)
+        total = float(lens.sum())
+        pos = (np.cumsum(lens) - 0.5 * lens) / total
+        la = np.log(np.maximum(area, area_floor_cm2))
+        y_logarea[n] = np.interp(uniform_mid, pos, la)
+        y_scalars[n] = (total, gt["incisor_pos_cm"],
+                        gt["tongue_tip_side_elevation"],
+                        gt["velum_opening_cm2"])
+
+    # standardized features for conditioning; coefficients converted back
+    # to raw-q space afterwards (model.cpp affine_eval uses raw params)
+    Z = (Q - mid) / half
+    feats = [np.ones((len(Q), 1)), Z]
+    if quadratic:
+        feats.append(Z * Z)
+    X = np.concatenate(feats, axis=1)
+    n_feat = X.shape[1]
+    pen = ridge * len(Q) * np.eye(n_feat)
+    pen[0, 0] = 0.0  # don't shrink the intercept
+    gram = X.T @ X + pen
+    Y = np.concatenate([y_logarea, y_scalars], axis=1)
+    W_std = np.linalg.solve(gram, X.T @ Y)  # (n_feat, 44)
+
+    # convert standardized-feature coefficients to raw q / q^2 features
+    def to_raw(w):
+        b = w[0]
+        c = w[1:20] / half
+        out = np.zeros(39 if quadratic else 20)
+        if quadratic:
+            d = w[20:39] / (half * half)
+            b = b - np.dot(w[1:20], mid / half) \
+                + np.dot(w[20:39], (mid / half) ** 2)
+            c = c - 2.0 * d * mid
+            out[20:] = d
+        else:
+            b = b - np.dot(w[1:20], mid / half)
+        out[0] = b
+        out[1:20] = c
+        return out
+
+    W_raw = np.stack([to_raw(W_std[:, k]) for k in range(Y.shape[1])])
+    pred = X @ W_std
+    resid = pred[:, :40] - y_logarea
+    diag = {
+        "n_samples": int(len(Q)),
+        "n_shapes": int(len(shapes)),
+        "quadratic": bool(quadratic),
+        "logarea_rmse": float(np.sqrt(np.mean(resid ** 2))),
+        "logarea_rmse_shapes": float(np.sqrt(np.mean(
+            resid[:len(shapes) * max(1, int(shape_weight))] ** 2))),
+        "length_rmse_cm": float(np.sqrt(np.mean(
+            (pred[:, 40] - y_scalars[:, 0]) ** 2))),
+    }
+    return {
+        "area": W_raw[:40],
+        "length": W_raw[40],
+        "incisor": W_raw[41],
+        "tongue_tip": W_raw[42],
+        "velum": W_raw[43],
+        "diagnostics": diag,
+    }
+
+
+def tract_affine_ini_lines(fit):
+    """Render a :func:`fit_tract_affine` result as INI lines."""
+    lines = ["", "[tract_affine]"]
+    for i, row in enumerate(fit["area"]):
+        lines.append("area " + str(i) + " "
+                     + " ".join(f"{v:.12g}" for v in row))
+    for key in ("length", "incisor", "tongue_tip", "velum"):
+        lines.append(key + " " + " ".join(f"{v:.12g}" for v in fit[key]))
+    return lines
+
+
 def import_speaker(src, dst, *, name=None, base_length_cm=None,
-                   voiceless=()):
-    """Convert a VTL XML speaker file to a paule_tpu INI speaker file."""
+                   voiceless=(), tube_fit=None):
+    """Convert a VTL XML speaker file to a paule_tpu INI speaker file.
+
+    ``tube_fit``: optional :func:`fit_tract_affine` result to embed as the
+    speaker's ``[tract_affine]`` fitted tube map.
+    """
     parsed = parse_vtl_speaker(src)
     text = to_ini(parsed, name=name, base_length_cm=base_length_cm,
                   voiceless=voiceless)
+    if tube_fit is not None:
+        text += "\n".join(tract_affine_ini_lines(tube_fit)) + "\n"
     with open(str(dst), "w") as fh:
         fh.write(text)
     return dst

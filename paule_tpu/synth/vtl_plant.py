@@ -214,6 +214,62 @@ class VTLPlant:
         }
         return audio, SAMPLE_RATE, tube_info
 
+    def tract_to_tube(self, tract_row):
+        """Direct ``vtlTractToTube`` on ONE (19,) tract state — no
+        synthesis, microseconds per call.  Used to sample VTL's tract
+        model as ground truth when fitting an imported speaker's
+        ``[tract_affine]`` tube map (speaker_import.fit_tract_affine)."""
+        tract = np.ascontiguousarray(tract_row, dtype=np.float64)
+        if tract.shape != (N_TRACT,):
+            raise ValueError(f"tract_row must be ({N_TRACT},), got "
+                             f"{tract.shape}")
+        n_tube = self.n_tube_sections
+        tube_length = np.zeros(n_tube)
+        tube_area = np.zeros(n_tube)
+        tube_articulator_idx = np.zeros(n_tube, dtype=np.int32)
+        inc = ctypes.c_double(0)
+        tts = ctypes.c_double(0)
+        vel = ctypes.c_double(0)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        iptr = ctypes.POINTER(ctypes.c_int)
+        with _LOCK:
+            failure = self._lib.vtlTractToTube(
+                tract.ctypes.data_as(dptr),
+                tube_length.ctypes.data_as(dptr),
+                tube_area.ctypes.data_as(dptr),
+                tube_articulator_idx.ctypes.data_as(iptr),
+                ctypes.byref(inc), ctypes.byref(tts), ctypes.byref(vel))
+            if failure != 0:
+                raise ValueError(
+                    f"Error in vtlTractToTube! Errorcode: {failure}")
+        return {"tube_length_cm": tube_length, "tube_area_cm2": tube_area,
+                "tube_articulator_idx": tube_articulator_idx,
+                "incisor_pos_cm": inc.value,
+                "tongue_tip_side_elevation": tts.value,
+                "velum_opening_cm2": vel.value}
+
+    def get_transfer_function(self, tract_row, n_points=2048):
+        """``vtlGetTransferFunction`` on one (19,) tract state — the
+        glottis-to-lips magnitude/phase spectrum, for formant-level
+        validation of imported speakers against VTL's own acoustics."""
+        tract = np.ascontiguousarray(tract_row, dtype=np.float64)
+        if tract.shape != (N_TRACT,):
+            raise ValueError(f"tract_row must be ({N_TRACT},), got "
+                             f"{tract.shape}")
+        mag = np.zeros(n_points)
+        phase = np.zeros(n_points)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        with _LOCK:
+            # VTL >= 2.3 signature: (tractParams, numSamples,
+            # opts (TransferFunctionOptions*, NULL = defaults), mag, phase)
+            failure = self._lib.vtlGetTransferFunction(
+                tract.ctypes.data_as(dptr), ctypes.c_int(n_points),
+                None, mag.ctypes.data_as(dptr), phase.ctypes.data_as(dptr))
+            if failure != 0:
+                raise ValueError(
+                    f"Error in vtlGetTransferFunction! Errorcode: {failure}")
+        return mag, phase
+
     def close(self):
         # VTL state is process-global and possibly shared with the imported
         # reference package; never vtlClose from a plant handle

@@ -63,14 +63,19 @@ def phone_cp(parsed, phone):
 
 def formants_of(speak, cp):
     sig, sr = speak(cp)
+    # bandwidth gate 500 Hz (same on BOTH legs): our waveguide's mid
+    # resonances are broader than VTL's (e.g. /u/ F2 bw ~440 vs <300);
+    # the default 300 Hz gate would silently drop a present formant and
+    # report the next pole up
     return [round(f, 1) for f in __import__(
         "paule_tpu.dsp.formants", fromlist=["lpc_formants"]).lpc_formants(
-            sig, sr, n_formants=2)]
+            sig, sr, n_formants=2, max_bandwidth_hz=500.0)]
 
 
 def main():
     from paule_tpu import synth
-    from paule_tpu.synth.speaker_import import (import_speaker,
+    from paule_tpu.synth.speaker_import import (fit_tract_affine,
+                                                import_speaker,
                                                 parse_vtl_speaker)
     from paule_tpu.synth.vtl_plant import VTLPlant, vtl_available
 
@@ -120,19 +125,60 @@ def main():
               f"{candidates[scale][1]:.3f}", file=sys.stderr, flush=True)
     best_scale = min(candidates, key=lambda s: candidates[s][1])
     base_cal = base * best_scale
+
+    # --- stage B: fitted tube map (F1 AND F2 — the formant SPACE).  The
+    # functional geometric tract spans a far smaller area dynamic range
+    # than VTL's 3-D anatomy (~0.3-4 vs 0.25-8 cm², measured in
+    # docs/speakers.md), which compresses F2 no matter how the gains are
+    # tuned (a [tract_map] coordinate descent moved the mean log-formant
+    # error only 0.33 -> 0.31).  Instead the import now FITS the area
+    # function itself: speaker_import.fit_tract_affine regresses
+    # per-section log-area (+ length/extraction scalars) on the 19 tract
+    # params against VTL's own vtlTractToTube over the shape inventory +
+    # space-filling samples, embedded as the speaker's [tract_affine]
+    # map (evaluated by model.cpp tract_to_tube_affine). ---
+    fit = fit_tract_affine(parsed, plant.tract_to_tube, n_samples=2200,
+                           seed=0, shape_weight=12)
+    print(f"[jd3] tract_affine fit: {fit['diagnostics']}",
+          file=sys.stderr, flush=True)
     import_speaker(JD3, INI_OUT, name="JD3-calibrated",
-                   base_length_cm=round(base_cal, 2))
+                   base_length_cm=round(base_cal, 2), tube_fit=fit)
     synth.initialize(INI_OUT)
     ours = {ph: formants_of(synth.speak, cps[ph]) for ph in PHONES}
-    print(f"[jd3] ours (calibrated, base {base_cal:.2f} cm): {ours}",
+    # transfer-function peaks as the audio-LPC-independent validation
+    # channel (LPC on synthesized audio is fragile around weak or merged
+    # resonances; VTL's own vtlGetTransferFunction is not comparable —
+    # it includes subglottal coupling — so TF-ours vs audio-LPC-VTL)
+    from scipy.signal import find_peaks
+
+    def tf_f12(tract_row):
+        mag, _ = synth.get_transfer_function(tract_row, n_points=2048)
+        freqs = np.arange(2048) * (44100.0 / 2.0) / 2048
+        sel = freqs < 4000
+        m = 20 * np.log10(np.maximum(mag[sel], 1e-12))
+        pk, _props = find_peaks(m, prominence=0.5)
+        f = [float(freqs[p]) for p in pk[:2]]
+        while len(f) < 2:
+            f.append(float("nan"))
+        return [round(v, 1) for v in f]
+
+    ours_tf = {ph: tf_f12(cps[ph][0, :19]) for ph in PHONES}
+    print(f"[jd3] ours (calibrated, [tract_affine]) audio-LPC: {ours}",
           file=sys.stderr, flush=True)
+    print(f"[jd3] ours TF peaks: {ours_tf}", file=sys.stderr, flush=True)
     synth.initialize()  # restore default
 
     table = {}
     for ph in PHONES:
+        tf1, tf2 = ours_tf[ph]
         table[ph] = {
             "vtl_f1_hz": vtl[ph][0], "vtl_f2_hz": vtl[ph][1],
             "ours_f1_hz": ours[ph][0], "ours_f2_hz": ours[ph][1],
+            "ours_tf_f1_hz": tf1, "ours_tf_f2_hz": tf2,
+            "tf_f1_rel_diff": (round(abs(tf1 - vtl[ph][0]) / vtl[ph][0], 3)
+                               if np.isfinite(tf1) else None),
+            "tf_f2_rel_diff": (round(abs(tf2 - vtl[ph][1]) / vtl[ph][1], 3)
+                               if np.isfinite(tf2) else None),
             "f1_rel_diff": round(abs(ours[ph][0] - vtl[ph][0])
                                  / vtl[ph][0], 3),
             "f2_rel_diff": (round(abs(ours[ph][1] - vtl[ph][1])
@@ -145,16 +191,28 @@ def main():
                   f"{T_FRAMES} frames), LPC formants (dsp/formants.py), "
                   "VTL = authentic libVocalTractLabApi.so via "
                   "synth/vtl_plant.py",
+        "channels": "ours_f*_hz (audio-LPC, same estimator and 500 Hz "
+                    "bandwidth gate on BOTH legs) is the authoritative "
+                    "comparison; ours_tf_* are raw transfer-function "
+                    "peaks at prominence 0.5 dB — they can surface weak "
+                    "side resonances (e/i/u rows) and are reported for "
+                    "source-independence, not as formant estimates",
         "base_length_estimated_cm": base,
         "base_length_calibrated_cm": round(base_cal, 2),
-        "calibration": "one scalar: 1-D search over base_length_cm in "
+        "calibration": "stage A: 1-D search over base_length_cm in "
                        "[0.85, 1.18]x the anatomy estimate minimizing "
-                       "mean |log F1 ratio| across the six measured "
-                       "phones (docs/speakers.md recipe)",
+                       "mean |log F1 ratio| (geometric-fallback scalar); "
+                       "stage B: [tract_affine] fitted tube map — "
+                       "per-section log-area + length/extraction scalars "
+                       "regressed on the 19 tract params against VTL's "
+                       "own vtlTractToTube (speaker_import."
+                       "fit_tract_affine, quadratic features, shape "
+                       "inventory weighted 12x, 2200 samples)",
         "candidate_scales_mean_log_f1_err": {
             str(s): round(e, 4) for s, (_, e) in
             sorted(candidates.items())},
         "chosen_scale": best_scale,
+        "tract_affine_fit": fit["diagnostics"],
         "uncalibrated_ours": ours0,
         "phones": table,
         "ini": os.path.relpath(INI_OUT, REPO),
