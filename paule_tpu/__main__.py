@@ -169,9 +169,26 @@ def cmd_speaker_import(args):
     from .synth import speaker_import
 
     voiceless = [v for v in (args.voiceless or "").split(",") if v]
+    tube_fit = None
+    if args.fit_tube:
+        from .synth import vtl_plant
+
+        if not vtl_plant.vtl_available(args.fit_tube_lib or
+                                       vtl_plant.DEFAULT_LIB, args.src):
+            raise SystemExit(
+                "--fit-tube needs a VocalTractLab library to sample "
+                f"(none at {args.fit_tube_lib or vtl_plant.DEFAULT_LIB})")
+        plant = vtl_plant.VTLPlant(
+            lib_path=args.fit_tube_lib or vtl_plant.DEFAULT_LIB,
+            speaker_path=args.src)
+        parsed = speaker_import.parse_vtl_speaker(args.src)
+        tube_fit = speaker_import.fit_tract_affine(
+            parsed, plant.tract_to_tube, n_samples=2200, shape_weight=12)
+        print(f"fitted [tract_affine]: {tube_fit['diagnostics']}")
     speaker_import.import_speaker(
         args.src, args.out, name=args.name,
-        base_length_cm=args.base_length, voiceless=voiceless)
+        base_length_cm=args.base_length, voiceless=voiceless,
+        tube_fit=tube_fit)
     print(f"wrote {args.out}")
 
 
@@ -231,6 +248,11 @@ def build_parser():
                    help="override the estimated tract length (cm)")
     p.add_argument("--voiceless", default=None,
                    help="comma-separated shape names to emit voiced=0")
+    p.add_argument("--fit-tube", action="store_true",
+                   help="fit a [tract_affine] tube map against the real "
+                        "VTL library's vtlTractToTube (docs/speakers.md)")
+    p.add_argument("--fit-tube-lib", default=None,
+                   help="path to libVocalTractLabApi.so for --fit-tube")
     p.set_defaults(fn=cmd_speaker_import)
     return parser
 
