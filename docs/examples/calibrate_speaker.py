@@ -7,6 +7,13 @@ measured formant of the target speaker's neutral vowel pins
 child-like target (F1 ≈ 650 Hz neutral, F0 ≈ 260 Hz), writes the
 ``.speaker`` file, and verifies by re-measuring the transfer function.
 
+This is the SCALE calibration (vocal-tract size).  To also calibrate the
+formant SPACE of a VocalTractLab import (per-vowel F2 structure), fit a
+``[tract_affine]`` tube map against the real VTL's own tract model:
+``python -m paule_tpu speaker-import JD3.speaker -o out.ini --fit-tube``
+(or ``speaker_import.fit_tract_affine``; measured results in
+docs/speakers.md and tools/calibrate_jd3.py).
+
 Run: python docs/examples/calibrate_speaker.py
 """
 

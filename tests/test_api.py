@@ -329,6 +329,36 @@ def test_plan_iterative(paule_model, target):
     assert planned_cp.shape[0] == 2 * total_frames
 
 
+def test_plan_with_imported_speaker(tmp_path):
+    """Planning runs end-to-end with a non-default speaker file as the
+    plant — including one carrying a [tract_affine] fitted tube map (the
+    committed calibrated JD3 import)."""
+    import os
+
+    from paule_tpu import synth as synth_mod
+
+    ini = os.path.join(os.path.dirname(synth_mod.__file__), "speaker",
+                       "jd3_calibrated.ini")
+    if not os.path.exists(ini):
+        pytest.skip("calibrated JD3 speaker not committed")
+    synth_mod.initialize(ini)
+    try:
+        info = synth_mod.get_param_info("tract")
+        ginfo = synth_mod.get_param_info("glottis")
+        neutral = np.concatenate([info["neutrals"], ginfo["neutrals"]])
+        cp = np.tile(neutral, (41, 1))
+        sig, sr = synth_mod.speak(cp)
+    finally:
+        synth_mod.initialize()
+    p = Paule(seed=3, speaker=ini)
+    r = p.plan_resynth(target_acoustic=(sig, sr), objective="acoustic",
+                       initialize_from="acoustic", n_outer=1, n_inner=3,
+                       log_ii=1, continue_learning=False, verbose=False)
+    assert np.isfinite(r.prod_loss_steps).all()
+    assert np.isfinite(np.asarray(r.planned_cp)).all()
+    synth_mod.initialize()  # restore the default for later tests
+
+
 def test_plan_iterative_semvec_only(paule_model):
     """Semvec-only iterative planning: a sequence of (semvec, length) words,
     each planned against its mel-GAN target, stitched with past_cp overlap."""
