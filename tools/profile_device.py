@@ -13,7 +13,7 @@ Measures, on the real TPU:
 3. optionally a ``jax.profiler`` trace (often unsupported over the axon
    tunnel; failures are recorded, not fatal).
 
-Writes ``docs/measurements/profile_r03.json``.
+Writes ``docs/measurements/profile_r04.json``.
 Run: PYTHONPATH=. python tools/profile_device.py
 """
 
@@ -147,7 +147,7 @@ def main():
                  "row is the throughput-mode number.",
     }
     os.makedirs("docs/measurements", exist_ok=True)
-    with open("docs/measurements/profile_r03.json", "w") as fh:
+    with open("docs/measurements/profile_r04.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
     return 0
