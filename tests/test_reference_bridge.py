@@ -157,6 +157,23 @@ def test_vtl_plant_contract(ref_pkg):
 
     assert set(np.unique(ti["tube_articulator"])) <= set(ARTICULATOR.values())
 
+    # direct vtlTractToTube probe (the [tract_affine] fit's ground truth,
+    # speaker_import.fit_tract_affine): bit-identical to the per-frame
+    # extraction of speak_and_extract_tube_information on the same state
+    row = U.inv_normalize_cp(np.zeros((1, 30)))[0, :19]
+    tube = plant.tract_to_tube(row)
+    np.testing.assert_array_equal(tube["tube_area_cm2"],
+                                  ti["tube_area_cm2"][0])
+    np.testing.assert_array_equal(tube["tube_length_cm"],
+                                  ti["tube_length_cm"][0])
+    assert tube["incisor_pos_cm"] == ti["incisor_pos_cm"][0]
+    assert tube["velum_opening_cm2"] == ti["velum_opening_cm2"][0]
+
+    # transfer-function probe returns a finite magnitude spectrum
+    mag, phase = plant.get_transfer_function(row, n_points=512)
+    assert mag.shape == (512,) and phase.shape == (512,)
+    assert np.isfinite(mag).all() and (mag >= 0).all()
+
 
 def test_our_planner_drives_vtl_plant(ref_pkg):
     """OUR planner plans through the reference's authentic VTL binary:
