@@ -251,7 +251,15 @@ class VTLPlant:
     def get_transfer_function(self, tract_row, n_points=2048):
         """``vtlGetTransferFunction`` on one (19,) tract state — the
         glottis-to-lips magnitude/phase spectrum, for formant-level
-        validation of imported speakers against VTL's own acoustics."""
+        validation of imported speakers against VTL's own acoustics.
+
+        Uses the VTL >= 2.3 five-argument signature (with an options
+        pointer, NULL = defaults) — the API the shipped reference binary
+        exports ("API 2.6.0quantling"); a pre-2.3 library would need the
+        four-argument call instead.  Note VTL's transfer function
+        includes subglottal/glottal coupling, so its peaks are NOT
+        directly the audio formants (tools/calibrate_jd3.py compares
+        audio-LPC to audio-LPC for that reason)."""
         tract = np.ascontiguousarray(tract_row, dtype=np.float64)
         if tract.shape != (N_TRACT,):
             raise ValueError(f"tract_row must be ({N_TRACT},), got "

@@ -294,3 +294,28 @@ def test_fit_tract_affine_recovers_synthetic_map(tmp_path):
         assert abs(lens.sum() - 16.0) < 0.2
     finally:
         synth.initialize()
+
+
+def test_tract_affine_save_speaker_roundtrip(tmp_path):
+    """pts_save_speaker emits [tract_affine]; reloading the saved file
+    reproduces the fitted tube bit-for-bit."""
+    src = os.path.join(os.path.dirname(synth.__file__), "speaker",
+                       "jd3_calibrated.ini")
+    if not os.path.exists(src):
+        pytest.skip("calibrated JD3 speaker not committed")
+    t = np.zeros((6, 30))
+    t[:, 9] = -0.9
+    synth.initialize(src)
+    try:
+        _a, _sr, i1 = synth.speak_and_extract_tube_information(t)
+        saved = tmp_path / "roundtrip.ini"
+        synth.save_speaker(str(saved))
+        synth.initialize(str(saved))
+        _a, _sr, i2 = synth.speak_and_extract_tube_information(t)
+        np.testing.assert_array_equal(
+            np.asarray(i1["tube_area_cm2"]), np.asarray(i2["tube_area_cm2"]))
+        np.testing.assert_array_equal(
+            np.asarray(i1["tube_length_cm"]),
+            np.asarray(i2["tube_length_cm"]))
+    finally:
+        synth.initialize()
