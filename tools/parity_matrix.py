@@ -10,6 +10,12 @@ the OTHER variants:
 * ``semvec_objective``  — objective='semvec' (acoustic target, semvec loss)
 * ``inverse_init``      — initialize_from='acoustic' (converted InverseModel)
 * ``past_cp_smiling``   — smiling=True + a frozen past_cp prefix
+* ``vtl_somatosensory`` — somatosensory feedback with BOTH legs driving
+  the reference's authentic ``libVocalTractLabApi.so`` as plant (ours via
+  ``Paule(plant=VTLPlant())``, the reference via its own unmodified
+  ``speak_and_extract_tube_information``) on a VTL copy-synthesis target
+  — the full incremental-synthesis + per-frame tube-extraction path,
+  authentic end to end (opt-in: slow, ~25 min; env PARITY_CELLS)
 
 Both legs of every cell share: the reference's own seeded torch models
 (state_dicts converted to our parameters), our C++ synthesizer as the
@@ -104,13 +110,20 @@ def convert_all(tm):
 
 
 def inject_our_plant():
-    """Our C++ synthesizer as the reference's plant — BOTH entry points."""
+    """Our C++ synthesizer as the reference's plant — BOTH entry points.
+
+    The originals (the reference's authentic VTL-backed functions) are
+    stashed on first call so :func:`restore_vtl_plant` can put them back
+    for the ``vtl_*`` cells."""
     import paule.paule as P
     import paule.util as U
 
     from paule_tpu import synth
 
     synth.initialize()
+    if not hasattr(U, "_vtl_speak"):
+        U._vtl_speak = U.speak
+        U._vtl_extract = U.speak_and_extract_tube_information
 
     def speak_ours(cp_denorm):
         return synth.speak(np.asarray(cp_denorm, dtype=np.float64))
@@ -125,10 +138,24 @@ def inject_our_plant():
     U.speak_and_extract_tube_information = extract_ours
 
 
+def restore_vtl_plant():
+    """Back to the reference's own authentic-VTL plant functions."""
+    import paule.paule as P
+    import paule.util as U
+
+    if hasattr(U, "_vtl_speak"):
+        U.speak = U._vtl_speak
+        U.speak_and_extract_tube_information = U._vtl_extract
+    P.speak = U.speak
+    P.speak_and_extract_tube_information = \
+        U.speak_and_extract_tube_information
+
+
 def run_reference(cell, target, init_cp, past_cp=None):
     import torch
     import paule.paule as P
 
+    cell = cell.removeprefix("vtl_") or cell  # vtl_* cells share kwargs
     tm = make_torch_models()  # fresh seeded weights per cell/leg
     torch.set_num_threads(os.cpu_count() or 1)
     kwargs = dict(pred_model=tm["fwd"], inv_model=tm["inv"],
@@ -176,6 +203,11 @@ def run_ours(cell, params, target, init_cp, past_cp=None):
 
     kwargs = dict(seed=1, pred_model=params["fwd"],
                   embedder=params["emb"])
+    if cell.startswith("vtl_"):
+        from paule_tpu.synth.vtl_plant import VTLPlant
+
+        kwargs["plant"] = VTLPlant()
+        cell = cell.removeprefix("vtl_")
     if cell == "inverse_init":
         kwargs["inv_model"] = params["inv"]
     if cell == "speech_classifier":
@@ -248,12 +280,34 @@ def main():
     if os.environ.get("PARITY_CELLS"):
         cells = os.environ["PARITY_CELLS"].split(",")
 
+    # the vtl_* cells copy-synthesize their target through the authentic
+    # VTL plant (both legs then plan through it) — built lazily once
+    vtl_target = vtl_init_cp = None
+
+    def vtl_setup():
+        nonlocal vtl_target, vtl_init_cp
+        restore_vtl_plant()
+        if vtl_target is None:
+            from paule_tpu.synth.vtl_plant import VTLPlant
+
+            sig, sr = VTLPlant().speak(inv_normalize_cp(cp_true))
+            vtl_target = (sig, float(sr))
+            nm = np.asarray(normalize_mel(
+                librosa_melspec(sig, float(sr)))).shape[0]
+            vtl_init_cp = np.zeros((2 * nm, 30))
+        return vtl_target, vtl_init_cp
+
     results = {}
     for cell in cells:
+        if cell.startswith("vtl_"):
+            cell_target, cell_init = vtl_setup()
+        else:
+            inject_our_plant()
+            cell_target, cell_init = target, init_cp
         stage(f"cell {cell}: ours leg...")
-        ours = run_ours(cell, params, target, init_cp, past_cp)
+        ours = run_ours(cell, params, cell_target, cell_init, past_cp)
         stage(f"cell {cell}: reference leg (~{N_OUTER * 4} min)...")
-        ref = run_reference(cell, target, init_cp, past_cp)
+        ref = run_reference(cell, cell_target, cell_init, past_cp)
         rel = (abs(ours["prod_loss"] - ref["prod_loss"])
                / max(abs(ref["prod_loss"]), 1e-9))
         results[cell] = {
@@ -268,21 +322,32 @@ def main():
         stage(f"cell {cell}: ours {ours['prod_loss']:.4f} vs ref "
               f"{ref['prod_loss']:.4f} (rel {rel:.4f})")
 
+    # merge into an existing artifact so opt-in cells (PARITY_CELLS=...)
+    # extend the matrix instead of clobbering the committed cells
+    path = "docs/measurements/parity_matrix_r04.json"
+    merged = dict(results)
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh).get("cells", {})
+        merged = {**prior, **results}
     out = {
         "budget": f"{N_OUTER} outer x {N_INNER} inner, log_ii=1, "
                   f"continue-learning on ({N_EPOCHS} epochs x {N_BATCHES} "
                   f"batches x {BATCH_SIZE})",
         "shared": "same seeded torch weights (converted), same "
-                  "copy-synthesis target, same plant (our C++ synth "
-                  "injected into the reference's speak/"
-                  "speak_and_extract_tube_information), same DSP",
+                  "copy-synthesis target, same plant on both legs (our "
+                  "C++ synth injected into the reference's speak/"
+                  "speak_and_extract_tube_information; vtl_* cells: the "
+                  "reference's own authentic VTL library, ours via "
+                  "Paule(plant=VTLPlant()), VTL copy-synthesis target), "
+                  "same DSP",
         "reference_code": "/root/reference/paule/paule.py:391 unmodified",
-        "cells": results,
+        "cells": merged,
         "all_parity_ok": bool(all(c["parity_ok"]
-                                  for c in results.values())),
+                                  for c in merged.values())),
     }
     os.makedirs("docs/measurements", exist_ok=True)
-    with open("docs/measurements/parity_matrix_r04.json", "w") as fh:
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
     return 0
