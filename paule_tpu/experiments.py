@@ -145,6 +145,12 @@ def plan_corpus_batched(paule_model, targets, *, mesh=None, max_batch=8,
     :func:`paule_tpu.parallel.batched.plan_batch_resynth` call (per-utterance
     Adam states, dp-sharded over ``mesh`` when given).
 
+    ``max_batch=8`` is the measured single-chip knee: the planning scan's
+    wall is latency-flat through B=8 (~7.6x utterance throughput), and
+    beyond it each doubling costs ~1.5-1.6x wall for ~1.2-1.4x throughput
+    (docs/measurements/batch_scaling_r04.json).  Raise it only when
+    per-utterance latency is irrelevant; a dp mesh multiplies the knee.
+
     ``targets``: list of audio file paths, ``(sig, sr)`` tuples, or
     precomputed normalized ``(F, 60)`` mels.  ``semvecs``: optional
     per-utterance (300,) vectors aligned with ``targets``.
