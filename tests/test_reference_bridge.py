@@ -200,3 +200,77 @@ def test_our_planner_drives_vtl_plant(ref_pkg):
         n_epochs=1, continue_learning=True, verbose=False)
     assert np.asarray(r.planned_cp).shape == (2 * n_mel, 30)
     assert np.isfinite(float(r.prod_loss_steps[-1]))
+
+
+def test_executed_loop_curve_parity_f64(ref_pkg):
+    """Full-loop numerical equivalence in float64: our plan_resynth
+    reproduces the produced-loss curve of the reference's ACTUAL
+    plan_resynth (/root/reference/paule/paule.py:391) step for step.
+
+    Shared seeded torch weights (converted), our C++ plant injected on
+    both legs, same copy-synthesis target, continue_learning=False — the
+    planning steps are RNG-free on both sides, so in f64 the curves must
+    agree to accumulation noise.  This pins at micro scale what
+    docs/measurements/dtype_attribution_r04.json measures at the bench
+    scale: the engine math is equivalent (our CPU legs land within
+    0.05% of the reference in BOTH f32 and f64), so the headline's
+    ~0.5% offset is TPU matmul numerics, not engine behavior.
+    """
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 parity mode required")
+    import torch
+
+    import paule.models as M
+    import paule.paule as P
+
+    from paule_tpu import synth
+    from paule_tpu.api import Paule
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.models import torch_convert as TC
+    from paule_tpu.ops.normalize import inv_normalize_cp
+
+    synth.initialize()
+
+    def speak_ours(cp_denorm):
+        return synth.speak(np.asarray(cp_denorm, dtype=np.float64))
+
+    torch.manual_seed(0)
+    fwd = M.ForwardModel(num_lstm_layers=1, hidden_size=32).double()
+    emb = M.EmbeddingModel(num_lstm_layers=1, hidden_size=32).double()
+    inv = M.InverseModelMelTimeSmoothResidual(
+        num_lstm_layers=1, hidden_size=32).double()
+    cp_gen = M.Generator().double()
+    mel_gen = M.Generator(output_size=60).double()
+    params_fwd = TC.convert("forward", fwd.state_dict())
+    params_emb = TC.convert("embedder", emb.state_dict())
+
+    rng = np.random.default_rng(0)
+    cp_true = np.clip(rng.normal(0, 0.05, (41, 30)).cumsum(0) * 0.2, -1, 1)
+    sig, sr = speak_ours(inv_normalize_cp(cp_true))
+    n_mel = np.asarray(librosa_melspec(sig, sr)).shape[0]
+    init_cp = np.zeros((2 * n_mel, 30))
+    plan = dict(target_acoustic=(sig, float(sr)),
+                objective="acoustic_semvec", initialize_from=None,
+                log_ii=1, log_semantics=True, n_outer=1, n_inner=4,
+                continue_learning=False, verbose=False)
+
+    old_speak = P.speak
+    P.speak = speak_ours
+    try:
+        model = P.Paule(pred_model=fwd, inv_model=inv, embedder=emb,
+                        cp_gen_model=cp_gen, mel_gen_model=mel_gen,
+                        device=torch.device("cpu"))
+        r_ref = model.plan_resynth(initial_cp=init_cp.copy(), plot=False,
+                                   **plan)
+    finally:
+        P.speak = old_speak
+
+    p = Paule(seed=1, pred_model=params_fwd, embedder=params_emb)
+    r_ours = p.plan_resynth(initial_cp=init_cp.copy(), **plan)
+
+    curve_ref = np.asarray([float(x) for x in r_ref.prod_loss_steps])
+    curve_ours = np.asarray([float(x) for x in r_ours.prod_loss_steps])
+    assert curve_ref.shape == curve_ours.shape == (4,)
+    np.testing.assert_allclose(curve_ours, curve_ref, rtol=5e-4)
