@@ -53,6 +53,22 @@ if os.environ.get("PAULE_TPU_NO_CACHE", "0") != "1":
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
+# Matmul precision on the MXU.  XLA:TPU's default matmul multiplies
+# bf16-rounded inputs with f32 accumulation;
+# docs/measurements/dtype_attribution_r04.json attributes the headline
+# bench's entire ~0.5% loss offset vs the reference to exactly this (our
+# XLA:CPU legs match the reference's executed loop to 0.05% in both f32 and
+# f64, and a full-precision TPU leg collapses to -0.04%).  The reference
+# plans in torch float64, so paule_tpu defaults to full-precision f32
+# matmuls ("float32" = multi-pass on the MXU): planning is
+# recurrence-latency-bound (docs/performance.md roofline), so the extra MXU
+# passes cost ~5-10% wall while tightening loss parity ~10x.  Set
+# PAULE_TPU_MATMUL_PRECISION=default (or bfloat16/high) for
+# throughput-first work where the bf16-input path is acceptable.
+_MATMUL_PRECISION = os.environ.get("PAULE_TPU_MATMUL_PRECISION", "float32")
+if _MATMUL_PRECISION and _MATMUL_PRECISION != "default":
+    jax.config.update("jax_default_matmul_precision", _MATMUL_PRECISION)
+
 #: dtype used for on-device compute (models, planning, DSP).
 DTYPE = jnp.float64 if _X64 else jnp.float32
 

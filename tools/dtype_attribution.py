@@ -28,6 +28,14 @@ offset, the headline's 0.5% is measured (not asserted) to be float32
 planning numerics; if cpu-f64 keeps the offset, something behavioral
 remains and the artifact says so.
 
+OUTCOME (see the artifact's "conclusion"): the hypothesis was WRONG in an
+interesting way — cpu-f32 ALSO collapsed onto the reference (-0.04%), so
+the offset is not float32 but the TPU MXU's default bf16-input matmul
+path.  A seventh leg (tpu-f32-fullprec) with
+jax_default_matmul_precision=float32 collapses the TPU offset to -0.04%
+at ~5-10% wall cost; that setting is now the package default
+(paule_tpu/config.py).
+
 Each leg runs in its own subprocess because jax's x64 switch and platform
 choice are process-global on this host (sitecustomize pre-imports jax, so
 env vars alone don't switch platforms — the leg runner updates the live
@@ -119,13 +127,21 @@ def main_leg(name):
 
 
 LEGS = [
-    # (key, extra env)
+    # (key, extra env).  The tpu-f32-sN legs pin the MXU's bf16-input
+    # matmul path explicitly: the experiment's outcome made full-precision
+    # matmuls the package default (config.py PAULE_TPU_MATMUL_PRECISION),
+    # so reproducing the offset now requires opting back out.
     ("ref", {"DTYPE_ATTR_PLATFORM": "cpu"}),
-    ("tpu-f32-s1", {"DTYPE_ATTR_SEED": "1"}),
-    ("tpu-f32-s2", {"DTYPE_ATTR_SEED": "2"}),
-    ("tpu-f32-s3", {"DTYPE_ATTR_SEED": "3"}),
+    ("tpu-f32-s1", {"DTYPE_ATTR_SEED": "1",
+                    "PAULE_TPU_MATMUL_PRECISION": "default"}),
+    ("tpu-f32-s2", {"DTYPE_ATTR_SEED": "2",
+                    "PAULE_TPU_MATMUL_PRECISION": "default"}),
+    ("tpu-f32-s3", {"DTYPE_ATTR_SEED": "3",
+                    "PAULE_TPU_MATMUL_PRECISION": "default"}),
     ("cpu-f32", {"DTYPE_ATTR_PLATFORM": "cpu"}),
     ("cpu-f64", {"DTYPE_ATTR_PLATFORM": "cpu", "PAULE_TPU_X64": "1"}),
+    ("tpu-f32-fullprec", {"DTYPE_ATTR_SEED": "1",
+                          "PAULE_TPU_MATMUL_PRECISION": "float32"}),
 ]
 
 
