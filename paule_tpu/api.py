@@ -543,6 +543,18 @@ class Paule:
             return host, dev
         return host
 
+    @property
+    def _plant_has_batch(self):
+        """Whether :meth:`_synthesize_batch` can run on this plant.
+
+        Guards on the method the batch path will actually call: with
+        somatosensory feedback that is ``speak_and_extract_batch``, not
+        ``speak_batch`` — a plant implementing only the latter must take
+        the per-trajectory path instead of crashing mid-plan."""
+        method = ("speak_and_extract_batch"
+                  if self.use_somatosensory_feedback else "speak_batch")
+        return hasattr(self.plant, method)
+
     def _synthesize(self, cps_norm):
         """Denormalize + synthesize on the host; returns (sig, sr[, tube]).
 
@@ -1008,7 +1020,7 @@ class Paule:
                     hc = jax.device_get(ft)
                     rows = np.asarray(hc.pop("xx_pre"), dtype=np.float64)
                     snap64_chunks.append(rows)
-                    if hasattr(self.plant, "speak_batch"):
+                    if self._plant_has_batch:
                         # one native crossing per chunk, overlapped with
                         # the later chunks' device planning (the C ABI
                         # releases the GIL for the whole batch)
@@ -1108,7 +1120,7 @@ class Paule:
             host_dtype = (np.float64 if self.dtype == jnp.float64
                           else np.float32)
             if (synth_futures is None and self.synthesis_async
-                    and hasattr(self.plant, "speak_batch")):
+                    and self._plant_has_batch):
                 syntheses = self._synthesize_batch(snapshots)
                 sig_devs = [jax.device_put(np.stack(
                     [np.asarray(s_[0], dtype=host_dtype)

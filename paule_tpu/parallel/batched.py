@@ -101,6 +101,36 @@ def _prepare_batch(paule_obj, target_mels, target_semvecs, mesh,
     return xx, opt_state, target_mels, target_semvecs
 
 
+def _synth_one_safe(paule_obj, cp_norm):
+    """Synthesize one normalized trajectory through ``paule_obj.plant``,
+    honoring the model's ``synthesis_error`` policy: 'skip' substitutes
+    silence so one diverged utterance cannot kill the whole batch."""
+    try:
+        return paule_obj._synthesize(cp_norm)
+    except Exception as exc:  # noqa: BLE001
+        if paule_obj.synthesis_error == "raise":
+            raise
+        print(f"WARNING: batch synthesis failed ({exc}); "
+              "substituting silence")
+        n_audio = max(0, cp_norm.shape[0] - 1) * 110
+        tube = (np.zeros((cp_norm.shape[0], 10))
+                if paule_obj.use_somatosensory_feedback else None)
+        return np.zeros(n_audio), 44100, tube
+
+
+def _synth_results(paule_obj, cps_norm):
+    """Synthesize every trajectory in ``cps_norm (B, T, 30)`` through the
+    model's plant (NOT the default pool — an injected plant, e.g. the
+    authentic :class:`~paule_tpu.synth.vtl_plant.VTLPlant`, must drive
+    this path too).  Batch-capable plants take one native crossing with
+    per-item error codes; others fan out per utterance.  Both honor the
+    ``synthesis_error`` policy.  Returns a list of ``(sig, sr, tube)``."""
+    if paule_obj._plant_has_batch:
+        return paule_obj._synthesize_batch(cps_norm)
+    return list(paule_obj._executor.map(
+        functools.partial(_synth_one_safe, paule_obj), cps_norm))
+
+
 def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
                n_steps=25, learning_rate_planning=0.01, objective="acoustic",
                log_semantics=False, synthesize=True):
@@ -132,18 +162,8 @@ def plan_batch(paule_obj, target_mels, target_semvecs=None, *, mesh=None,
                                    jax.device_get(logs["sub_losses"])),
     }
     if synthesize:
-        from ..ops.normalize import inv_normalize_cp
-
-        pool = paule_obj._synth_pool
-        if hasattr(pool, "speak_batch"):
-            audio, _sr, _errors = pool.speak_batch(
-                inv_normalize_cp(out["planned_cp"]))
-            sigs = list(audio)
-        else:
-            sigs = list(paule_obj._executor.map(
-                lambda cp: pool.speak(inv_normalize_cp(cp))[0],
-                out["planned_cp"]))
-        out["prod_sigs"] = sigs
+        results = _synth_results(paule_obj, out["planned_cp"])
+        out["prod_sigs"] = [sig for sig, _sr, _tube in results]
     return out
 
 
@@ -245,23 +265,8 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
 
         cps = np.asarray(jax.device_get(xx), dtype=np.float64)
 
-        def synth_one(cp):
-            # honor the model's synthesis_error policy per utterance, like
-            # plan_resynth: 'skip' substitutes silence so one diverged
-            # utterance cannot kill the whole batch
-            try:
-                return paule_obj._synthesize(cp)
-            except Exception as exc:  # noqa: BLE001
-                if paule_obj.synthesis_error == "raise":
-                    raise
-                print(f"WARNING: batch synthesis failed ({exc}); "
-                      "substituting silence")
-                n_audio = max(0, cp.shape[0] - 1) * 110
-                tube = (np.zeros((cp.shape[0], 10)) if use_somato else None)
-                return np.zeros(n_audio), 44100, tube
-
         host_dtype = np.float64 if dtype == jnp.float64 else np.float32
-        if hasattr(paule_obj.plant, "speak_batch"):
+        if paule_obj._plant_has_batch:
             # the bucket's trajectories are same-length: ONE native
             # crossing for the whole batch + one stacked upload (same
             # path/error policy as Paule._synthesize_batch)
@@ -275,7 +280,8 @@ def plan_batch_resynth(paule_obj, target_mels, target_semvecs=None, *,
             # the transfer overlaps with the remaining utterances'
             # synthesis
             results, sig_devs = [], []
-            for res in paule_obj._executor.map(synth_one, cps):
+            for res in paule_obj._executor.map(
+                    functools.partial(_synth_one_safe, paule_obj), cps):
                 results.append(res)
                 sig_devs.append(jax.device_put(
                     np.asarray(res[0], dtype=host_dtype)))

@@ -245,19 +245,29 @@ Speaker Speaker::load(const std::string& path, std::string* err) {
         return c;
       };
       if (tok == "area") {
-        int idx;
-        if (ls >> idx) {
-          std::vector<double> c = read_coefs();
-          if (idx >= 0 && idx < kTubeSections && !c.empty()) {
-            if (ta.n_coef == 0) {
-              ta.n_coef = (int)c.size();
-              ta.area.assign(kTubeSections * ta.n_coef, 0.0);
-            }
-            if ((int)c.size() == ta.n_coef)
-              std::copy(c.begin(), c.end(),
-                        ta.area.begin() + idx * ta.n_coef);
-          }
+        // a malformed row (bad index, empty, or a coefficient count that
+        // mismatches the first row's) must FAIL the load: silently
+        // skipping it would leave that section's coefficients all zero
+        // (log-area 0 -> area 1 cm^2) while present() stays true —
+        // quietly wrong tube areas from a truncated speaker file
+        int idx = -1;
+        std::vector<double> c;
+        bool ok = static_cast<bool>(ls >> idx);
+        if (ok) c = read_coefs();
+        ok = ok && idx >= 0 && idx < kTubeSections && !c.empty();
+        if (ok && ta.n_coef == 0) {
+          ta.n_coef = (int)c.size();
+          ta.area.assign(kTubeSections * ta.n_coef, 0.0);
         }
+        ok = ok && (int)c.size() == ta.n_coef;
+        if (!ok) {
+          if (err)
+            *err = "malformed [tract_affine] area row (index " +
+                   std::to_string(idx) + ") in " + path;
+          s.name = "<error>";
+          return s;
+        }
+        std::copy(c.begin(), c.end(), ta.area.begin() + idx * ta.n_coef);
       } else if (tok == "length") {
         ta.length = read_coefs();
       } else if (tok == "incisor") {

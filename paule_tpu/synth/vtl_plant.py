@@ -74,18 +74,29 @@ def _ensure_initialized(lib, speaker_path):
     if _INITIALIZED_SPEAKER == speaker_path:
         return
     failure = lib.vtlInitialize(speaker_path.encode())
-    if failure != 0:
-        # tolerate "already initialized" states: probe with a constants
-        # query; anything that answers is usable
-        sr = ctypes.c_int(0)
-        probe = lib.vtlGetConstants(
-            ctypes.byref(sr), ctypes.byref(ctypes.c_int(0)),
-            ctypes.byref(ctypes.c_int(0)), ctypes.byref(ctypes.c_int(0)),
-            ctypes.byref(ctypes.c_int(0)), ctypes.byref(ctypes.c_double(0)))
-        if probe != 0 or sr.value <= 0:
-            raise ValueError(
-                f"Error in vtlInitialize! Errorcode: {failure}")
-    _INITIALIZED_SPEAKER = speaker_path
+    if failure == 0:
+        _INITIALIZED_SPEAKER = speaker_path
+        return
+    if _INITIALIZED_SPEAKER is not None:
+        # a DIFFERENT speaker is live and the re-init failed; proceeding
+        # would silently synthesize with the wrong speaker
+        raise ValueError(
+            f"Error in vtlInitialize! Errorcode: {failure} (requested "
+            f"{speaker_path!r} while {_INITIALIZED_SPEAKER!r} is loaded)")
+    # we never initialized, but an external user of the same dlopen handle
+    # may have (the imported reference does at import time,
+    # /root/reference/paule/util.py:30-34): probe with a constants query;
+    # a library that answers is usable, but the live speaker is unknown,
+    # so do NOT cache the requested path — a later speaker change retries
+    # the init instead of short-circuiting on a wrong cache entry
+    sr = ctypes.c_int(0)
+    probe = lib.vtlGetConstants(
+        ctypes.byref(sr), ctypes.byref(ctypes.c_int(0)),
+        ctypes.byref(ctypes.c_int(0)), ctypes.byref(ctypes.c_int(0)),
+        ctypes.byref(ctypes.c_int(0)), ctypes.byref(ctypes.c_double(0)))
+    if probe != 0 or sr.value <= 0:
+        raise ValueError(
+            f"Error in vtlInitialize! Errorcode: {failure}")
 
 
 class VTLPlant:

@@ -302,3 +302,86 @@ def test_criterion_batched_equals_per_utterance_variants():
                 np.testing.assert_allclose(
                     getattr(subs_b, name)[b], getattr(subs_1, name),
                     rtol=1e-10, err_msg=f"{variant} {name}")
+
+
+def test_plan_batch_honors_injected_plant():
+    """plan_batch's synthesis must drive the injected plant (not the
+    default pool) and honor the synthesis_error policy per utterance:
+    one failing trajectory yields silence in 'skip' mode instead of
+    aborting (or silently bypassing) the batch."""
+    import numpy as np
+    from paule_tpu.api import Paule
+    from paule_tpu import synth
+    from paule_tpu.dsp.mel import librosa_melspec
+    from paule_tpu.ops.normalize import inv_normalize_cp, normalize_mel
+
+    synth.initialize()
+
+    class CountingPlant:
+        def __init__(self, fail_on=None):
+            self.n_speak = 0
+            self.fail_on = fail_on
+
+        def speak(self, cp_denorm):
+            self.n_speak += 1
+            if self.fail_on is not None and self.n_speak == self.fail_on:
+                raise ValueError("injected failure")
+            return synth.speak(cp_denorm)
+
+        def close(self):
+            pass
+
+    rng = np.random.default_rng(7)
+    tmels = []
+    for _ in range(3):
+        cp = np.clip(rng.normal(0, 0.1, (24, 30)).cumsum(0) * 0.1, -1, 1)
+        sig, sr = synth.speak(inv_normalize_cp(cp))
+        tmels.append(normalize_mel(librosa_melspec(sig, sr)))
+    tmels = np.stack(tmels)
+
+    plant = CountingPlant()
+    p = Paule(seed=17, plant=plant)
+    out = batched.plan_batch(p, tmels, n_steps=2)
+    assert plant.n_speak == 3
+    assert len(out["prod_sigs"]) == 3
+    assert all(np.isfinite(s).all() for s in out["prod_sigs"])
+
+    failing = CountingPlant(fail_on=2)
+    p2 = Paule(seed=17, plant=failing, synthesis_error="skip")
+    out2 = batched.plan_batch(p2, tmels, n_steps=2)
+    assert len(out2["prod_sigs"]) == 3
+    silent = [bool(np.all(s == 0)) for s in out2["prod_sigs"]]
+    assert sum(silent) == 1
+
+    failing_raise = CountingPlant(fail_on=2)
+    p3 = Paule(seed=17, plant=failing_raise, synthesis_error="raise")
+    with pytest.raises(ValueError):
+        batched.plan_batch(p3, tmels, n_steps=2)
+
+
+def test_plant_has_batch_guards_on_needed_method():
+    """The batch-synthesis dispatch guards on the method the batch path
+    will actually call: with somatosensory feedback that is
+    speak_and_extract_batch, not speak_batch."""
+    from paule_tpu.api import Paule
+    from paule_tpu import synth
+
+    synth.initialize()
+
+    class BatchOnlyPlant:
+        def speak(self, cp):
+            return synth.speak(cp)
+
+        def speak_batch(self, cps):
+            return synth.speak_batch(cps)
+
+        def speak_and_extract_tube_information(self, cp):
+            return synth.speak_and_extract_tube_information(cp)
+
+        def close(self):
+            pass
+
+    plant = BatchOnlyPlant()
+    assert Paule(seed=2, plant=plant)._plant_has_batch is True
+    p_somato = Paule(seed=2, use_somatosensory_feedback=True, plant=plant)
+    assert p_somato._plant_has_batch is False

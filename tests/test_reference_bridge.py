@@ -274,3 +274,49 @@ def test_executed_loop_curve_parity_f64(ref_pkg):
     curve_ours = np.asarray([float(x) for x in r_ours.prod_loss_steps])
     assert curve_ref.shape == curve_ours.shape == (4,)
     np.testing.assert_allclose(curve_ours, curve_ref, rtol=5e-4)
+
+
+def test_vtl_ensure_initialized_no_wrong_speaker_masking(monkeypatch):
+    """_ensure_initialized must not mask a failed speaker change: when a
+    DIFFERENT speaker is live and vtlInitialize fails, it raises instead
+    of silently synthesizing with the old speaker, and it never caches
+    the requested path unless vtlInitialize returned 0."""
+    import ctypes
+
+    from paule_tpu.synth import vtl_plant
+
+    class FakeLib:
+        def __init__(self, init_rc, probe_rc=0, probe_sr=44100):
+            self.init_rc = init_rc
+            self.probe_rc = probe_rc
+            self.probe_sr = probe_sr
+
+        def vtlInitialize(self, path):
+            return self.init_rc
+
+        def vtlGetConstants(self, sr_ref, *rest):
+            sr_ref._obj.value = self.probe_sr
+            return self.probe_rc
+
+    # success path caches the requested speaker
+    monkeypatch.setattr(vtl_plant, "_INITIALIZED_SPEAKER", None)
+    vtl_plant._ensure_initialized(FakeLib(0), "/tmp/a.speaker")
+    assert vtl_plant._INITIALIZED_SPEAKER == "/tmp/a.speaker"
+
+    # failed change away from a live speaker raises (no silent wrong-
+    # speaker synthesis) and keeps the TRUE live speaker cached
+    with pytest.raises(ValueError):
+        vtl_plant._ensure_initialized(FakeLib(1), "/tmp/b.speaker")
+    assert vtl_plant._INITIALIZED_SPEAKER == "/tmp/a.speaker"
+
+    # externally-initialized library (we never initialized): a failure
+    # with a live probe is tolerated but the requested path is NOT cached
+    monkeypatch.setattr(vtl_plant, "_INITIALIZED_SPEAKER", None)
+    vtl_plant._ensure_initialized(FakeLib(1), "/tmp/c.speaker")
+    assert vtl_plant._INITIALIZED_SPEAKER is None
+
+    # failure with a dead probe raises
+    monkeypatch.setattr(vtl_plant, "_INITIALIZED_SPEAKER", None)
+    with pytest.raises(ValueError):
+        vtl_plant._ensure_initialized(FakeLib(1, probe_sr=0),
+                                      "/tmp/d.speaker")

@@ -319,3 +319,31 @@ def test_tract_affine_save_speaker_roundtrip(tmp_path):
             np.asarray(i2["tube_length_cm"]))
     finally:
         synth.initialize()
+
+
+def test_malformed_tract_affine_row_fails_load(tmp_path):
+    """A [tract_affine] area row whose coefficient count mismatches the
+    first row's must FAIL the load (silently skipping it would leave that
+    section's log-area coefficients zero -> area 1 cm^2 with present()
+    true — quietly wrong tube areas from a truncated speaker file)."""
+    bad = tmp_path / "bad_affine.ini"
+    bad.write_text(
+        "[meta]\nname = bad-affine\n"
+        "[tract_affine]\n"
+        "area 0 0.5 0.1 0.2\n"
+        "area 1 0.5 0.1\n")  # 2 coefs where row 0 had 3
+    with pytest.raises(ValueError):
+        synth.initialize(str(bad))
+    synth.initialize()  # restore the default for later tests
+
+    # control: consistent rows load fine
+    good = tmp_path / "good_affine.ini"
+    good.write_text(
+        "[meta]\nname = good-affine\n"
+        "[tract_affine]\n"
+        "area 0 0.5 0.1 0.2\n"
+        "area 1 0.5 0.1 0.3\n")
+    try:
+        synth.initialize(str(good))
+    finally:
+        synth.initialize()
