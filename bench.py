@@ -39,7 +39,10 @@ on a many-core host the reference leg would be a few times faster.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Env knobs: BENCH_PARITY_OUTER (default 2) bounds the reference wall-clock;
+Env knobs: BENCH_PARITY_OUTER (default 10 since r5: the reference leg runs
+the FULL default budget, so the recorded wall is measured, never
+extrapolated, and loss parity is anchored at the full 10-outer budget;
+set 2 for a quick extrapolated run) bounds the reference wall-clock;
 BENCH_REFERENCE_ROOT overrides the reference checkout location.
 """
 
@@ -57,7 +60,7 @@ BATCH_SIZE = 8
 LR_PLANNING = 0.01
 LR_LEARNING = 0.001
 FULL_OUTER = 10
-PARITY_OUTER = int(os.environ.get("BENCH_PARITY_OUTER", "2"))
+PARITY_OUTER = int(os.environ.get("BENCH_PARITY_OUTER", "10"))
 REFERENCE_ROOT = os.environ.get("BENCH_REFERENCE_ROOT", "/root/reference")
 SECONDS = 1.0
 N_CP = int(round(SECONDS * 44100 / 110))  # 1 s of cp frames (~400)
@@ -198,7 +201,11 @@ def bench_reference(target, models, init_cp, n_outer, *, plant="ours"):
 def make_paule(params_fwd, params_emb):
     from paule_tpu.api import Paule
 
-    return Paule(seed=1, pred_model=params_fwd, embedder=params_emb)
+    # pretrained_dir="random": the bench compares frameworks from IDENTICAL
+    # converted seeded weights on both legs; the in-repo release must not
+    # leak into either leg (the unused models would load it by default)
+    return Paule(seed=1, pred_model=params_fwd, embedder=params_emb,
+                 pretrained_dir="random")
 
 
 def run_ours(p, target, init_cp, n_outer):
@@ -287,7 +294,7 @@ def main_vtl_both():
 
     stage(f"ours through VTL plant (n_outer={PARITY_OUTER}, cold)...")
     p = Paule(seed=1, pred_model=params_fwd, embedder=params_emb,
-              plant=plant)
+              plant=plant, pretrained_dir="random")
     t0 = time.perf_counter()
     r_ours = run_ours(p, target, init_cp, PARITY_OUTER)
     t_ours = time.perf_counter() - t0

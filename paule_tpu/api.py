@@ -156,7 +156,7 @@ class Paule:
             self._jax_rng, sub = jax.random.split(self._jax_rng)
             return sub
 
-        sd = self._load_pretrained(pretrained_dir)
+        sd = self._resolve_weights(pretrained_dir)
 
         # PREDictive MODEL (cp -> mel); with ``physical_forward=True`` the
         # learned proxy is replaced by the differentiable spectral-domain
@@ -318,6 +318,30 @@ class Paule:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def _resolve_weights(self, pretrained_dir):
+        """Resolve the initial model weights (paule_tpu.release docstring):
+
+        * ``None`` (default): the in-repo trained release if present
+          (zero network access — the TPU-native counterpart of the
+          reference's 200 MB download, /root/reference/paule/util.py:936),
+          else seeded random init with a one-time hint.
+        * ``"random"``: explicit seeded random init.
+        * a path: reference-layout torch checkpoint conversion.
+        """
+        if pretrained_dir == "random":
+            return {}
+        if pretrained_dir is None:
+            from . import release
+
+            if release.release_available():
+                weights, _meta = release.load_release(dtype=self.dtype)
+                return {k: jax.tree.map(
+                    lambda a: jnp.asarray(a, dtype=self.dtype), tree)
+                    for k, tree in weights.items()}
+            release.print_fallback_hint_once()
+            return {}
+        return self._load_pretrained(pretrained_dir)
 
     def _load_pretrained(self, pretrained_dir):
         """Convert reference torch checkpoints if a pretrained dir is given.

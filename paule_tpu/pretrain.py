@@ -122,16 +122,20 @@ def train_inverse(model, params, corpus, *, batch_size=8, n_epochs=10,
 
 
 def train_embedder(model, params, corpus, *, batch_size=8, n_epochs=10,
-                   learning_rate=1e-3, seed=0, dtype=None):
+                   learning_rate=1e-3, seed=0, dtype=None,
+                   input_column="melspec_norm_synthesized"):
     """Train a mel→semvec EmbeddingModel on a DataFrame with ``vector``
-    labels (mean-squared error to the 300-dim lexical embedding)."""
+    labels (mean-squared error to the 300-dim lexical embedding).
+
+    ``input_column`` selects the input sequences — the tube→semvec
+    variant trains on ``tube_norm`` features with the same loop."""
     from .ops.padding import pad_batch
     from .planning.trainer import build_length_dict, create_epoch_batches
     import random as pyrandom
 
     dtype = dtype or np.dtype(DTYPE)
     rng = pyrandom.Random(seed)
-    mels = list(corpus["melspec_norm_synthesized"])
+    mels = list(corpus[input_column])
     vecs = np.stack([np.asarray(v) for v in corpus["vector"]]).astype(dtype)
     lens = np.array([len(m) for m in mels])
     length_dict = build_length_dict(lens)

@@ -166,5 +166,14 @@ def import_reference(reference_root="/root/reference"):
     return sys.modules["paule"]
 
 
+def reference_hidden():
+    """True when ``PAULE_TPU_HIDE_REFERENCE=1``: every reference-checkout
+    feature reports unavailable, exercising the standalone install path
+    (the package must degrade cleanly when no upstream checkout exists)."""
+    return os.environ.get("PAULE_TPU_HIDE_REFERENCE", "0") == "1"
+
+
 def reference_available(reference_root="/root/reference"):
+    if reference_hidden():
+        return False
     return os.path.isdir(os.path.join(reference_root, "paule"))

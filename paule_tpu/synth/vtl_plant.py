@@ -47,6 +47,10 @@ _SAFETY_TAIL = 2000
 
 
 def vtl_available(lib_path=DEFAULT_LIB, speaker_path=DEFAULT_SPEAKER):
+    from ..reference_bridge import reference_hidden
+
+    if reference_hidden():
+        return False
     return os.path.exists(lib_path) and os.path.exists(speaker_path)
 
 

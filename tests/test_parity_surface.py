@@ -7,10 +7,12 @@ import os
 
 import pytest
 
+from paule_tpu.reference_bridge import reference_available
+
 REFERENCE = "/root/reference/paule"
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not available")
+    not reference_available(), reason="reference checkout not available")
 
 
 def public_names(path):

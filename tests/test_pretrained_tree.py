@@ -25,10 +25,13 @@ import paule_tpu  # noqa: F401  (x64 via conftest env)
 from paule_tpu.api import Paule
 from paule_tpu.models import torch_convert as TC
 
+from paule_tpu.reference_bridge import reference_available
+
 REF_MODELS = pathlib.Path("/root/reference/paule/models.py")
 
 pytestmark = pytest.mark.skipif(
-    not REF_MODELS.exists(), reason="reference checkout not available")
+    not (reference_available() and REF_MODELS.exists()),
+    reason="reference checkout not available")
 
 #: the reference's exact shipped filenames (paule.py lines cited above)
 FILES = {

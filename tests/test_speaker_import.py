@@ -14,10 +14,13 @@ import pytest
 from paule_tpu import synth
 from paule_tpu.synth import speaker_import
 
+from paule_tpu.reference_bridge import reference_available
+
 JD3 = "/root/reference/paule/vocaltractlab_api/JD3.speaker"
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(JD3), reason="reference JD3.speaker not available")
+    not (reference_available() and os.path.exists(JD3)),
+    reason="reference JD3.speaker not available")
 
 
 @pytest.fixture(scope="module")
