@@ -181,7 +181,8 @@ def _deferred_fetch(tree, finalize):
 
 
 def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
-                 rng=random, dtype=np.float32, deferred=False):
+                 rng=random, dtype=np.float32, deferred=False,
+                 exact_batch_only=False, progress=None):
     """Train for n_epochs with same-size batching; returns per-epoch mean
     losses.  ``inps``/``tgts`` are sequences (lists / pandas Series) of
     variable-length (T_i, C) arrays.
@@ -190,12 +191,25 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
     continue-learning on one utterance's snapshots), ALL steps of all epochs
     compile into scans over on-device index gathers — contiguous runs of
     equal batch size become one dispatch each, instead of one dispatch (and
-    one host round-trip) per batch."""
+    one host round-trip) per batch.
+
+    ``exact_batch_only`` drops the leftover (< batch_size) batches each
+    epoch: with a few distinct sequence lengths this bounds the compiled
+    (B, T) shapes to one per length — on a backend where each new shape
+    costs a full XLA compile (TPU), leftover batches of a different size
+    every epoch dominate wall-clock.  The shuffle re-draws leftover
+    membership per epoch, so every sample still trains in most epochs
+    (large-corpus offline pretraining; continue-learning keeps exact
+    batches).  ``progress(epoch_idx)`` is called after each epoch's
+    dispatches (no device sync)."""
     inps = list(inps)
     tgts = list(tgts)
     lens_in = np.asarray(lens_in)
     epoch_batches = _plan_epoch_batches(len(inps), lens_in, batch_size,
                                         n_epochs, rng)
+    if exact_batch_only:
+        epoch_batches = [[b for b in ep if len(b) == batch_size]
+                         for ep in epoch_batches]
 
     same_len = (len(set(lens_in.tolist())) == 1
                 and len({len(t_) for t_ in tgts}) == 1)
@@ -207,7 +221,7 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
                                       deferred=deferred)
 
     device_losses = []  # per-epoch lists of device scalars; fetched once
-    for batches in epoch_batches:  # variable-length (padded) slow path
+    for e, batches in enumerate(epoch_batches):  # variable-length slow path
         losses = []
         for idxs in batches:
             b_in = pad_batch(lens_in[list(idxs)],
@@ -217,6 +231,8 @@ def train_epochs(trainer, inps, tgts, lens_in, *, batch_size, n_epochs,
                               dtype=dtype)
             losses.append(trainer.train_batch(b_in, b_out))
         device_losses.append(losses)
+        if progress is not None:
+            progress(e)
     fin = lambda host: [float(np.mean(ls)) for ls in host]
     if deferred:
         return _deferred_fetch(device_losses, fin)

@@ -88,7 +88,8 @@ def babble_corpus(n_utterances, *, seq_len=(40, 120), seed=0, pool=None,
 # ---------------------------------------------------------------------------
 
 def train_forward(model, params, corpus, *, batch_size=8, n_epochs=10,
-                  learning_rate=1e-3, seed=0, dtype=None):
+                  learning_rate=1e-3, seed=0, dtype=None,
+                  exact_batch_only=False, progress=None):
     """Train a cp→mel ForwardModel on a babble corpus; returns
     (params, per-epoch losses)."""
     trainer = ModelTrainer(model, params, loss="rmse",
@@ -100,12 +101,14 @@ def train_forward(model, params, corpus, *, batch_size=8, n_epochs=10,
         list(corpus["melspec_norm_synthesized"]),
         np.array([len(c) for c in corpus["cp_norm"]]),
         batch_size=batch_size, n_epochs=n_epochs,
-        rng=pyrandom.Random(seed), dtype=dtype or np.dtype(DTYPE))
+        rng=pyrandom.Random(seed), dtype=dtype or np.dtype(DTYPE),
+        exact_batch_only=exact_batch_only, progress=progress)
     return trainer.params, losses
 
 
 def train_inverse(model, params, corpus, *, batch_size=8, n_epochs=10,
-                  learning_rate=1e-3, seed=0, dtype=None):
+                  learning_rate=1e-3, seed=0, dtype=None,
+                  exact_batch_only=False, progress=None):
     """Train a mel→cp InverseModel (cp-trajectory loss: position + velocity
     + acceleration + jerk, reference /root/reference/paule/util.py:640)."""
     trainer = ModelTrainer(model, params, loss="cp_trajectory",
@@ -117,13 +120,15 @@ def train_inverse(model, params, corpus, *, batch_size=8, n_epochs=10,
         list(corpus["cp_norm"]),
         np.array([len(m) for m in corpus["melspec_norm_synthesized"]]),
         batch_size=batch_size, n_epochs=n_epochs,
-        rng=pyrandom.Random(seed), dtype=dtype or np.dtype(DTYPE))
+        rng=pyrandom.Random(seed), dtype=dtype or np.dtype(DTYPE),
+        exact_batch_only=exact_batch_only, progress=progress)
     return trainer.params, losses
 
 
 def train_embedder(model, params, corpus, *, batch_size=8, n_epochs=10,
                    learning_rate=1e-3, seed=0, dtype=None,
-                   input_column="melspec_norm_synthesized"):
+                   input_column="melspec_norm_synthesized",
+                   exact_batch_only=False, progress=None):
     """Train a mel→semvec EmbeddingModel on a DataFrame with ``vector``
     labels (mean-squared error to the 300-dim lexical embedding).
 
@@ -154,10 +159,12 @@ def train_embedder(model, params, corpus, *, batch_size=8, n_epochs=10,
         return optax.apply_updates(p, updates), s, loss
 
     epoch_losses = []
-    for _ in range(n_epochs):
+    for e in range(n_epochs):
         batches = create_epoch_batches(
             len(mels), batch_size, shuffle=True, same_size_batching=True,
             training_length_dict=length_dict, rng=rng)
+        if exact_batch_only:  # bound compiled (B, T) shapes (train_epochs)
+            batches = [b for b in batches if len(b) == batch_size]
         losses = []
         for idxs in batches:
             idxs = list(idxs)
@@ -168,6 +175,8 @@ def train_embedder(model, params, corpus, *, batch_size=8, n_epochs=10,
                 jnp.asarray(lens[idxs]), jnp.asarray(vecs[idxs]))
             losses.append(loss)
         epoch_losses.append(float(np.mean(jax.device_get(losses))))
+        if progress is not None:
+            progress(e)
     return params, epoch_losses
 
 
@@ -178,7 +187,7 @@ def train_embedder(model, params, corpus, *, batch_size=8, n_epochs=10,
 def train_gan(generator, gen_params, critic, critic_params, corpus, *,
               data_column="cp_norm", batch_size=8, n_epochs=10,
               n_critic=5, gp_weight=10.0, learning_rate=1e-4, seed=0,
-              noise_size=100):
+              noise_size=100, exact_batch_only=False, progress=None):
     """Conditional WGAN-GP: the critic scores (trajectory, semvec) pairs,
     the generator maps (noise, length, semvec) -> trajectory.
 
@@ -261,10 +270,12 @@ def train_gan(generator, gen_params, critic, critic_params, corpus, *,
 
     epoch_losses = []
     it = 0
-    for _ in range(n_epochs):
+    for e in range(n_epochs):
         batches = create_epoch_batches(
             len(data), batch_size, shuffle=True, same_size_batching=True,
             training_length_dict=length_dict, rng=rng)
+        if exact_batch_only:  # bound compiled (B, T) shapes (train_epochs)
+            batches = [b for b in batches if len(b) == batch_size]
         c_losses, g_losses = [], []
         for idxs in batches:
             idxs = list(idxs)
@@ -290,4 +301,6 @@ def train_gan(generator, gen_params, critic, critic_params, corpus, *,
         epoch_losses.append((
             float(np.mean(jax.device_get(c_losses))) if c_losses else np.nan,
             float(np.mean(jax.device_get(g_losses))) if g_losses else np.nan))
+        if progress is not None:
+            progress(e)
     return gen_params, critic_params, epoch_losses

@@ -234,6 +234,14 @@ Speaker Speaker::load(const std::string& path, std::string* err) {
       if (tok == "gain_root") m.gain_root = v;
       if (tok == "exp_root") m.exp_root = v;
       if (tok == "lip_factor") m.lip_factor = v;
+    } else if (section == "source") {
+      std::string eq;
+      double v;
+      ls >> eq >> v;
+      auto& sc = s.source;
+      if (tok == "deriv_mix") sc.deriv_mix = v;
+      if (tok == "skew_offset") sc.skew_offset = v;
+      if (tok == "aspiration_db") sc.aspiration_db = v;
     } else if (section == "tract_affine") {
       // "area <i> <coef...>" / "length <coef...>" / "incisor <coef...>"
       // / "tongue_tip <coef...>" / "velum <coef...>"
@@ -644,6 +652,7 @@ void GlottisState::reset() {
   pulse_index = 0;
   noise_state = 0x9e3779b9u;
   asp_lp = 0.0;
+  u_prev_ = 0.0;
 }
 
 void GlottisState::prepare(const Speaker& spk, const double* gp) {
@@ -664,8 +673,13 @@ void GlottisState::prepare(const Speaker& spk, const double* gp) {
                  fast_sin2pi(4.7 * t)) / 3.0;
   f0_eff_ = F0 * (1.0 + flut);
 
-  // PS (pulse skewness) modulates the oscillation asymmetry exponent
+  // PS (pulse skewness) modulates the oscillation asymmetry exponent;
+  // the per-speaker source calibration can sharpen/soften closure on top
+  // ([source] skew_offset — clamped so the pow-chain approximations stay
+  // in their validated domain)
   skew_ = 1.6 + PS;
+  if (spk.source.skew_offset != 0.0)
+    skew_ = clampd(skew_ + spk.source.skew_offset, 0.2, 6.0);
   lag_phase_ = LAG / (2.0 * M_PI);
   dp_ = DP;
   amp_ = 0.16 * (0.3 + 0.7 * (RA + 1.0) / 2.0) * std::sqrt(PR / 8000.0);
@@ -678,6 +692,9 @@ void GlottisState::prepare(const Speaker& spk, const double* gp) {
   // 10^(AS/20) as 2^(AS * log2(10)/20): rel err <3e-9 on an aspiration
   // gain — far below audibility, and ~10x faster than libm pow
   asp_gain13_ = fast_exp2(AS * 0.16609640474436813) * 1.3;
+  if (spk.source.aspiration_db != 0.0)
+    asp_gain13_ *= fast_exp2(spk.source.aspiration_db * 0.16609640474436813);
+  deriv_k_ = spk.source.deriv_mix * kSourceDerivNorm;
 }
 
 double GlottisState::step(double* area_out) {
@@ -721,7 +738,12 @@ double GlottisState::step(double* area_out) {
   double asp = asp_lp * asp_gain13_ *
                std::sqrt(std::max(u, 0.0) * (a_g + 0.01));
 
-  return u + asp * 40.0;
+  // per-speaker source calibration: derivative mix tilts the source
+  // spectrum up (deriv_k_ == 0 -> y == raw bit-exactly)
+  double raw = u + asp * 40.0;
+  double y = raw + deriv_k_ * (raw - u_prev_);
+  u_prev_ = raw;
+  return y;
 }
 
 void GlottisState::step_block(int n, double* out) {
@@ -784,11 +806,17 @@ void GlottisState::step_block(int n, double* out) {
     gg[i] = std::sqrt(std::max(u, 0.0) * (a_g + 0.01));
   }
 
-  // scalar epilogue: the aspiration lowpass is a genuine recurrence
+  // scalar epilogue: the aspiration lowpass and the source-calibration
+  // derivative mix are genuine recurrences (deriv_k_ == 0 -> out == raw
+  // bit-exactly, matching the uncalibrated path)
+  double up = u_prev_;
   for (int i = 0; i < B; ++i) {
     asp_lp += 0.25 * (nz[i] - asp_lp);
-    out[i] = uu[i] + asp_lp * asp_gain13_ * gg[i] * 40.0;
+    double raw = uu[i] + asp_lp * asp_gain13_ * gg[i] * 40.0;
+    out[i] = raw + deriv_k_ * (raw - up);
+    up = raw;
   }
+  u_prev_ = up;
 }
 
 // ---------------------------------------------------------------------------
@@ -1251,6 +1279,14 @@ int save_speaker(const Speaker& spk, const std::string& path) {
     out << "gain_root = " << m.gain_root << "\n";
     out << "exp_root = " << m.exp_root << "\n";
     out << "lip_factor = " << m.lip_factor << "\n";
+  }
+  if (spk.source.present()) {
+    out << "[source]\n";
+    out.precision(12);
+    out << "deriv_mix = " << spk.source.deriv_mix << "\n";
+    out << "skew_offset = " << spk.source.skew_offset << "\n";
+    out << "aspiration_db = " << spk.source.aspiration_db << "\n";
+    out.precision(6);
   }
   if (spk.tract_affine.present()) {
     const auto& ta = spk.tract_affine;

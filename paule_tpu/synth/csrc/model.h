@@ -91,6 +91,31 @@ struct Speaker {
              (int)area.size() == kTubeSections * n_coef;
     }
   } tract_affine;
+  // optional per-speaker glottal SOURCE calibration ([source] section):
+  // the audio-level counterpart of [tract_affine].  A fitted tube map
+  // makes the tract transfer function match an external model, but the
+  // radiated audio still carries OUR kinematic glottis' spectrum; when a
+  // speaker is imported from a synthesizer with a different source (e.g.
+  // VTL's two-mass-like models), audio-domain formant estimates (LPC)
+  // are biased by the source's spectral tilt even with a perfect tract
+  // (measured: r4 imported-JD3 audio F1 13-36% low with TF F1 within
+  // 0.6%).  Fitted at import time against the external synthesizer's
+  // audio of sustained phones (speaker_import.fit_source).
+  struct SourceCal {
+    // mix of the flow derivative into the source signal:
+    //   y[n] = u[n] + deriv_mix * kSourceDerivNorm * (u[n] - u[n-1])
+    // (kSourceDerivNorm makes deriv_mix ~1 contribute comparable energy
+    // at 500 Hz; >0 tilts the source spectrum up / brightens)
+    double deriv_mix = 0.0;
+    // added to the oscillation asymmetry exponent (sharper closure =
+    // richer harmonics); applied on top of the PS control param
+    double skew_offset = 0.0;
+    // aspiration gain adjustment in dB on top of the AS control param
+    double aspiration_db = 0.0;
+    bool present() const {
+      return deriv_mix != 0.0 || skew_offset != 0.0 || aspiration_db != 0.0;
+    }
+  } source;
   // phone target table: phone -> 30 parameter targets
   struct Phone {
     std::string name;
@@ -170,7 +195,15 @@ struct GlottisState {
   double f0_eff_ = 0.0, skew_ = 1.6, lag_phase_ = 0.0, amp_ = 0.0;
   double xb_ = 0.0, xt_ = 0.0, chink_ = 0.0, dp_ = 0.0;
   double fold2_ = 2.0, u_coeff_ = 0.0, asp_gain13_ = 0.0;
+  // per-speaker source calibration (Speaker::SourceCal, committed by
+  // prepare(); deriv_k_ == 0 keeps the uncalibrated path bit-identical)
+  double deriv_k_ = 0.0;
+  double u_prev_ = 0.0;  // source output recurrence for the derivative mix
 };
+
+//: normalizes SourceCal::deriv_mix so a mix of 1 contributes energy equal
+//: to the flow's at 500 Hz (derivative gain at f is ~2*pi*f/fs)
+constexpr double kSourceDerivNorm = kInternalSampleRate / (2.0 * 3.14159265358979323846 * 500.0);
 
 // Kelly-Lochbaum waveguide over the tube sections + nasal branch
 class Waveguide {

@@ -239,7 +239,8 @@ def to_ini(parsed, *, name=None, base_length_cm=None, voiceless=()):
 
 def fit_tract_affine(parsed, tract_to_tube_fn, *, n_samples=1500, seed=0,
                      ridge=1e-4, quadratic=True, area_floor_cm2=1e-2,
-                     shape_weight=6):
+                     shape_weight=6, emphasize_shapes=(),
+                     emphasize_weight=0):
     """Fit a ``[tract_affine]`` tube map against an external tract model.
 
     ``tract_to_tube_fn(tract_row (19,)) -> dict`` must return the ground
@@ -274,10 +275,20 @@ def fit_tract_affine(parsed, tract_to_tube_fn, *, n_samples=1500, seed=0,
     shapes = np.array([
         np.clip([sh.get(pname, ne) for _, pname, _, _, ne in tract], lo, hi)
         for sh in parsed["tract_shapes"].values()])
+    shape_names = list(parsed["tract_shapes"])
     rng = np.random.default_rng(seed)
     # the shape inventory is what plans/validations actually visit — weight
     # it above the space-filling samples by replication
     samples = [np.repeat(shapes, max(1, int(shape_weight)), axis=0)]
+    if emphasize_shapes and emphasize_weight:
+        # e.g. the cardinal vowels whose formants anchor a calibration:
+        # extra replication pulls the regression's area residual toward
+        # zero exactly where the acoustic validation measures it
+        idx = [shape_names.index(n) for n in emphasize_shapes
+               if n in shape_names]
+        if idx:
+            samples.append(np.repeat(shapes[idx],
+                                     int(emphasize_weight), axis=0))
     n_extra = max(0, n_samples - len(samples[0]))
     n_mix = int(0.45 * n_extra)
     n_jit = int(0.35 * n_extra)
@@ -364,6 +375,126 @@ def fit_tract_affine(parsed, tract_to_tube_fn, *, n_samples=1500, seed=0,
     }
 
 
+def fit_source(measure_fn, vtl_f12, *, deriv_grid=(0.0, 0.5, 1.0, 2.0, 3.0),
+               skew_grid=(0.0, 0.4, 0.8), asp_grid=(0.0,), f2_weight=0.3,
+               max_weight=0.5, refine_rounds=2):
+    """Fit the per-speaker glottal SOURCE calibration (``[source]``,
+    model.cpp ``Speaker::SourceCal``) against an external synthesizer's
+    audio-level formants — the source-spectrum analogue of
+    :func:`fit_tract_affine` (VERDICT r5 #4).
+
+    A fitted tube map makes the *transfer function* match, but audio-LPC
+    formants also see the glottal source spectrum: with VTL-imported
+    speakers our kinematic source's steeper spectral tilt biases the
+    all-pole fit toward f0, reading F1 13-36% low even where the TF F1 is
+    within 0.6% (docs/measurements/jd3_formants_r04.json).  This fit
+    searches the source's derivative mix (spectral tilt), skew offset
+    (closure sharpness) and aspiration gain to minimize
+
+        mean |log(F1_ours / F1_ext)| + f2_weight * mean |log(F2 ratio)|
+
+    over the phone set: F1 driven to match, F2 penalized so the tract
+    fit's gains are preserved.
+
+    ``measure_fn(source_dict) -> {phone: (f1_hz, f2_hz)}`` must render a
+    speaker with the candidate ``[source]`` values and measure formants
+    with the SAME estimator used for ``vtl_f12`` (phone -> (f1, f2)).
+    Coarse grid then ``refine_rounds`` of half-step coordinate descent.
+    Returns the best source dict plus ``diagnostics``.
+    """
+    import numpy as np
+
+    phones = list(vtl_f12)
+
+    # beyond this, an "F2" change is a pole-tracking jump (the LPC fit
+    # lost the resonance and reported a different pole), not a shift —
+    # hard-penalized so the committed speaker keeps its formants trackable
+    jump = np.log(1.6)
+
+    def objective(meas):
+        e1, e2 = [], []
+        for ph in phones:
+            f1, f2 = meas[ph][0], meas[ph][1]
+            v1, v2 = vtl_f12[ph][0], vtl_f12[ph][1]
+            if np.isfinite(f1) and v1 > 0:
+                e1.append(abs(np.log(f1 / v1)))
+            else:  # a vanished F1 must never look like an improvement
+                e1.append(1.0)
+            if np.isfinite(f2) and np.isfinite(v2) and f2 > 0 and v2 > 0:
+                d2 = abs(np.log(f2 / v2))
+                e2.append(d2 if d2 <= jump else d2 + 1.0 / f2_weight)
+            else:
+                e2.append(jump + 1.0 / f2_weight)  # vanished F2 = jump
+        # the max term balances opposing per-phone residuals (close vowels
+        # overshoot while mid vowels undershoot a global source change):
+        # minimizing mean alone parks one phone far off
+        return float(np.mean(e1) + max_weight * np.max(e1)
+                     + f2_weight * np.mean(e2 or [0.0]))
+
+    tried = {}
+
+    def evaluate(d, s, a):
+        key = (round(d, 6), round(s, 6), round(a, 6))
+        if key not in tried:
+            meas = measure_fn({"deriv_mix": d, "skew_offset": s,
+                               "aspiration_db": a})
+            tried[key] = (objective(meas), meas)
+        return tried[key]
+
+    best = None
+    for d in deriv_grid:
+        for s in skew_grid:
+            for a in asp_grid:
+                err, meas = evaluate(d, s, a)
+                if best is None or err < best[0]:
+                    best = (err, (d, s, a), meas)
+
+    steps = [0.5 * (deriv_grid[1] - deriv_grid[0]) if len(deriv_grid) > 1
+             else 0.25,
+             0.5 * (skew_grid[1] - skew_grid[0]) if len(skew_grid) > 1
+             else 0.2,
+             0.5 * (asp_grid[1] - asp_grid[0]) if len(asp_grid) > 1
+             else 0.0]
+    for _ in range(refine_rounds):
+        err0, (d, s, a), _meas = best
+        for axis, step in enumerate(steps):
+            if step == 0.0:
+                continue
+            for sign in (-1.0, 1.0):
+                cand = [d, s, a]
+                cand[axis] = max(0.0, cand[axis] + sign * step) \
+                    if axis == 0 else cand[axis] + sign * step
+                err, meas = evaluate(*cand)
+                if err < best[0]:
+                    best = (err, tuple(cand), meas)
+        if best[0] >= err0 - 1e-6:
+            steps = [0.5 * st for st in steps]
+
+    err, (d, s, a), meas = best
+    return {
+        "deriv_mix": float(d), "skew_offset": float(s),
+        "aspiration_db": float(a),
+        "diagnostics": {
+            "objective": round(err, 4),
+            "n_evaluations": len(tried),
+            "f2_weight": f2_weight,
+            "fitted_f12": {ph: [round(float(v), 1) for v in meas[ph]]
+                           for ph in phones},
+        },
+    }
+
+
+def source_ini_lines(source):
+    """Render a :func:`fit_source` result (or a plain dict with
+    ``deriv_mix`` / ``skew_offset`` / ``aspiration_db``) as INI lines."""
+    lines = ["", "[source]"]
+    for key in ("deriv_mix", "skew_offset", "aspiration_db"):
+        v = float(source.get(key, 0.0))
+        if v != 0.0:
+            lines.append(f"{key} = {v:.12g}")
+    return lines if len(lines) > 2 else []
+
+
 def tract_affine_ini_lines(fit):
     """Render a :func:`fit_tract_affine` result as INI lines."""
     lines = ["", "[tract_affine]"]
@@ -376,17 +507,23 @@ def tract_affine_ini_lines(fit):
 
 
 def import_speaker(src, dst, *, name=None, base_length_cm=None,
-                   voiceless=(), tube_fit=None):
+                   voiceless=(), tube_fit=None, source=None):
     """Convert a VTL XML speaker file to a paule_tpu INI speaker file.
 
     ``tube_fit``: optional :func:`fit_tract_affine` result to embed as the
     speaker's ``[tract_affine]`` fitted tube map.
+    ``source``: optional :func:`fit_source` result to embed as the
+    speaker's ``[source]`` glottal-source calibration.
     """
     parsed = parse_vtl_speaker(src)
     text = to_ini(parsed, name=name, base_length_cm=base_length_cm,
                   voiceless=voiceless)
     if tube_fit is not None:
         text += "\n".join(tract_affine_ini_lines(tube_fit)) + "\n"
+    if source is not None:
+        lines = source_ini_lines(source)
+        if lines:
+            text += "\n".join(lines) + "\n"
     with open(str(dst), "w") as fh:
         fh.write(text)
     return dst

@@ -45,7 +45,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-N_OUTER = 2
+#: PARITY_OUTER=10 runs a cell at the headline's FULL budget; its result
+#: is recorded under "<cell>_full" (VERDICT r5 #6: a slow-manifesting
+#: variant divergence — e.g. tube-model continue-learning drift — is
+#: invisible at 2 outers)
+N_OUTER = int(os.environ.get("PARITY_OUTER", "2"))
 N_INNER = 25
 N_EPOCHS = 10
 N_BATCHES = 3
@@ -201,8 +205,10 @@ def run_reference(cell, target, init_cp, past_cp=None):
 def run_ours(cell, params, target, init_cp, past_cp=None):
     from paule_tpu.api import Paule
 
+    # pretrained_dir="random": both legs must share the seeded converted
+    # weights — the in-repo release must not leak into the ours leg
     kwargs = dict(seed=1, pred_model=params["fwd"],
-                  embedder=params["emb"])
+                  embedder=params["emb"], pretrained_dir="random")
     if cell.startswith("vtl_"):
         from paule_tpu.synth.vtl_plant import VTLPlant
 
@@ -297,6 +303,9 @@ def main():
             vtl_init_cp = np.zeros((2 * nm, 30))
         return vtl_target, vtl_init_cp
 
+    budget_str = (f"{N_OUTER} outer x {N_INNER} inner, log_ii=1, "
+                  f"continue-learning on ({N_EPOCHS} epochs x {N_BATCHES} "
+                  f"batches x {BATCH_SIZE})")
     results = {}
     for cell in cells:
         if cell.startswith("vtl_"):
@@ -310,30 +319,33 @@ def main():
         ref = run_reference(cell, cell_target, cell_init, past_cp)
         rel = (abs(ours["prod_loss"] - ref["prod_loss"])
                / max(abs(ref["prod_loss"]), 1e-9))
-        results[cell] = {
+        key = cell if N_OUTER == 2 else f"{cell}_full"
+        results[key] = {
             "ours": ours, "reference": ref,
+            "budget": budget_str,
             "prod_loss_rel_diff": round(rel, 4),
             "parity_ok": bool(rel <= 0.10),
         }
         if "prod_semvec_loss" in ours and "prod_semvec_loss" in ref:
             rs = (abs(ours["prod_semvec_loss"] - ref["prod_semvec_loss"])
                   / max(abs(ref["prod_semvec_loss"]), 1e-9))
-            results[cell]["semvec_loss_rel_diff"] = round(rs, 4)
-        stage(f"cell {cell}: ours {ours['prod_loss']:.4f} vs ref "
+            results[key]["semvec_loss_rel_diff"] = round(rs, 4)
+        stage(f"cell {key}: ours {ours['prod_loss']:.4f} vs ref "
               f"{ref['prod_loss']:.4f} (rel {rel:.4f})")
 
     # merge into an existing artifact so opt-in cells (PARITY_CELLS=...)
-    # extend the matrix instead of clobbering the committed cells
-    path = "docs/measurements/parity_matrix_r04.json"
+    # extend the matrix instead of clobbering the committed cells; the
+    # r5 artifact seeds itself from the committed r4 matrix
+    path = "docs/measurements/parity_matrix_r05.json"
     merged = dict(results)
-    if os.path.exists(path):
-        with open(path) as fh:
+    prior_path = path if os.path.exists(path) else \
+        "docs/measurements/parity_matrix_r04.json"
+    if os.path.exists(prior_path):
+        with open(prior_path) as fh:
             prior = json.load(fh).get("cells", {})
         merged = {**prior, **results}
     out = {
-        "budget": f"{N_OUTER} outer x {N_INNER} inner, log_ii=1, "
-                  f"continue-learning on ({N_EPOCHS} epochs x {N_BATCHES} "
-                  f"batches x {BATCH_SIZE})",
+        "budget": f"per-cell 'budget' field (default {budget_str})",
         "shared": "same seeded torch weights (converted), same "
                   "copy-synthesis target, same plant on both legs (our "
                   "C++ synth injected into the reference's speak/"

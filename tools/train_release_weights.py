@@ -63,6 +63,16 @@ def log(msg):
     print(f"[release] {msg}", file=sys.stderr, flush=True)
 
 
+def epoch_progress(stage_name, every=5):
+    t0 = time.perf_counter()
+
+    def cb(e):
+        if (e + 1) % every == 0:
+            log(f"  {stage_name}: epoch {e + 1} "
+                f"({time.perf_counter() - t0:.0f} s)")
+    return cb
+
+
 def stage(name, fn):
     """Run ``fn`` once, pickling its result to the work dir."""
     path = os.path.join(WORK, f"{name}.pkl")
@@ -201,7 +211,8 @@ def main():
         m = ForwardModel(num_lstm_layers=1, hidden_size=720)
         params, losses = pretrain.train_forward(
             m, m.init(next(keys), DTYPE), train, batch_size=BATCH,
-            n_epochs=EPOCHS["forward"])
+            n_epochs=EPOCHS["forward"], exact_batch_only=True,
+            progress=epoch_progress("forward"))
         vl = _val_loss_seq2seq(m, params,
                                list(val["cp_norm"]),
                                list(val["melspec_norm_synthesized"]),
@@ -221,7 +232,8 @@ def main():
                                               hidden_size=720)
         params, losses = pretrain.train_inverse(
             m, m.init(next(keys), DTYPE), train, batch_size=BATCH,
-            n_epochs=EPOCHS["inverse"])
+            n_epochs=EPOCHS["inverse"], exact_batch_only=True,
+            progress=epoch_progress("inverse"))
         vl = _val_loss_seq2seq(m, params,
                                list(val["melspec_norm_synthesized"]),
                                list(val["cp_norm"]),
@@ -240,7 +252,8 @@ def main():
         m = EmbeddingModel(num_lstm_layers=2, hidden_size=720)
         params, losses = pretrain.train_embedder(
             m, m.init(next(keys), DTYPE), lex_train, batch_size=BATCH,
-            n_epochs=EPOCHS["embedder"])
+            n_epochs=EPOCHS["embedder"], exact_batch_only=True,
+            progress=epoch_progress("embedder"))
         # val MSE + retrieval accuracy (nearest class vector)
         import jax as _jax
 
@@ -278,7 +291,8 @@ def main():
         p1, l1 = pretrain.train_forward(
             cp_tube, cp_tube.init(next(keys), DTYPE),
             train.assign(melspec_norm_synthesized=train["tube_norm"]),
-            batch_size=BATCH, n_epochs=EPOCHS["tube"])
+            batch_size=BATCH, n_epochs=EPOCHS["tube"],
+            exact_batch_only=True, progress=epoch_progress("cp_tube"))
         v1 = _val_loss_seq2seq(cp_tube, p1, list(val["cp_norm"]),
                                list(val["tube_norm"]), loss="rmse")
 
@@ -288,7 +302,8 @@ def main():
         p2, l2 = pretrain.train_forward(
             tube_mel, tube_mel.init(next(keys), DTYPE),
             train.assign(cp_norm=train["tube_norm"]),
-            batch_size=BATCH, n_epochs=EPOCHS["tube"])
+            batch_size=BATCH, n_epochs=EPOCHS["tube"],
+            exact_batch_only=True, progress=epoch_progress("tube_mel"))
         v2 = _val_loss_seq2seq(tube_mel, p2, list(val["tube_norm"]),
                                list(val["melspec_norm_synthesized"]),
                                loss="rmse")
@@ -299,7 +314,8 @@ def main():
         p3, l3 = pretrain.train_embedder(
             tube_emb, tube_emb.init(next(keys), DTYPE), lex_train,
             batch_size=BATCH, n_epochs=EPOCHS["tube"],
-            input_column="tube_norm")
+            input_column="tube_norm", exact_batch_only=True,
+            progress=epoch_progress("tube_embedder"))
         return (jax.device_get(p1), l1, v1, jax.device_get(p2), l2, v2,
                 jax.device_get(p3), l3)
 
@@ -368,11 +384,14 @@ def main():
         prng = pyrandom.Random(11)
         ld = build_length_dict(lens)
         losses = []
-        for _ in range(EPOCHS["classifier"]):
+        cls_progress = epoch_progress("classifier")
+        for e in range(EPOCHS["classifier"]):
             ep = []
-            for idxs in create_epoch_batches(
+            batches = [b for b in create_epoch_batches(
                     len(X), BATCH, shuffle=True, same_size_batching=True,
-                    training_length_dict=ld, rng=prng):
+                    training_length_dict=ld, rng=prng)
+                if len(b) == BATCH]  # bound compiled (B, T) shapes
+            for idxs in batches:
                 idxs = list(idxs)
                 bx = pad_batch(lens[idxs], [X[i] for i in idxs],
                                dtype=np.dtype("float32"))
@@ -381,6 +400,7 @@ def main():
                     jnp.asarray(lens[idxs]), jnp.asarray(y[idxs]))
                 ep.append(float(l_))
             losses.append(float(np.mean(ep)))
+            cls_progress(e)
         # accuracy on val positives + fresh negatives
         vx = list(val["melspec_norm_synthesized"])
         hits = 0
@@ -408,7 +428,8 @@ def main():
             gen, gen.init(next(keys), DTYPE),
             cri, cri.init(next(keys), DTYPE),
             lex_train, data_column="cp_norm", batch_size=BATCH,
-            n_epochs=EPOCHS["gan"])
+            n_epochs=EPOCHS["gan"], exact_batch_only=True,
+            progress=epoch_progress("cp_gan"))
         del cp_
         return jax.device_get(gp), losses
 
@@ -419,7 +440,8 @@ def main():
             gen, gen.init(next(keys), DTYPE),
             cri, cri.init(next(keys), DTYPE),
             lex_train, data_column="melspec_norm_synthesized",
-            batch_size=BATCH, n_epochs=EPOCHS["gan"])
+            batch_size=BATCH, n_epochs=EPOCHS["gan"], exact_batch_only=True,
+            progress=epoch_progress("mel_gan"))
         del cp_
         return jax.device_get(gp), losses
 
