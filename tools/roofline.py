@@ -21,7 +21,7 @@ against the derived floor.  ratio <= ~1.3 means the scan is within
 shouting distance of its own recurrence chain: latency-bound, QED.  A
 larger ratio quantifies the headroom (criterion/optimizer/log overhead).
 
-Writes docs/measurements/roofline_r04.json.
+Writes docs/measurements/roofline_r05.json.
 Run on the real TPU: PYTHONPATH=. python tools/roofline.py
 """
 
@@ -234,7 +234,7 @@ def main():
         "measured = slope of wall(n_steps) of the real plan_segment at "
         "n_steps in {5,25,50} (cancels the ~28 ms tunnel dispatch)")
     os.makedirs("docs/measurements", exist_ok=True)
-    with open("docs/measurements/roofline_r04.json", "w") as fh:
+    with open("docs/measurements/roofline_r05.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
     return 0

@@ -20,7 +20,7 @@ The ladder (each a faithful subset of the real inner step):
 Consecutive differences attribute the gap; `vg_pred_only` minus
 402*fwdbwd_slope isolates residual per-kernel overhead inside a scan.
 
-Writes docs/measurements/step_decomposition_r04.json.
+Writes docs/measurements/step_decomposition_r05.json.
 Run on the real TPU with a quiet host: python tools/step_decomposition.py
 """
 
@@ -175,7 +175,7 @@ def main():
               f"(walls {out['walls_ms'][name]})", file=sys.stderr, flush=True)
 
     os.makedirs("docs/measurements", exist_ok=True)
-    with open("docs/measurements/step_decomposition_r04.json", "w") as fh:
+    with open("docs/measurements/step_decomposition_r05.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
     return 0
