@@ -110,10 +110,35 @@ def lstm(layers, x, *, dropout=0.0, deterministic=True, rng=None):
     torch's ``nn.LSTM(dropout=...)`` semantics; it requires ``rng`` when
     ``deterministic=False``.
     """
+    n = len(layers)
+    dropout_active = dropout > 0.0 and not deterministic
+
+    def _fusable_pair(li):
+        # adjacent layers run as ONE fused kernel per direction (removes
+        # two pallas launches + the inter-layer HBM round-trip per
+        # step-chain; see pallas_lstm.lstm_stack2_pallas) when the shapes
+        # allow it: equal hidden sizes, upper layer's input == hidden
+        from .pallas_lstm import feasible2
+        h1 = layers[li]["w_hh"].shape[0]
+        return (layers[li + 1]["w_hh"].shape[0] == h1
+                and layers[li + 1]["w_ih"].shape[0] == h1
+                and feasible2(x.shape[1], x.shape[0], h1))
+
     h_ns, c_ns = [], []
     out = x
-    n = len(layers)
-    for li, params in enumerate(layers):
+    li = 0
+    while li < n:
+        if (li + 1 < n and not dropout_active and pallas_enabled()
+                and _fusable_pair(li)):
+            from .pallas_lstm import lstm_stack2_pallas
+            out, states = lstm_stack2_pallas(layers[li], layers[li + 1],
+                                             out)
+            for h_n, c_n in states:
+                h_ns.append(h_n)
+                c_ns.append(c_n)
+            li += 2
+            continue
+        params = layers[li]
         out, (h_n, c_n) = lstm_layer(params, out)
         if dropout > 0.0 and not deterministic and li < n - 1:
             if rng is None:
@@ -123,4 +148,5 @@ def lstm(layers, x, *, dropout=0.0, deterministic=True, rng=None):
             out = jnp.where(keep, out / (1.0 - dropout), 0.0)
         h_ns.append(h_n)
         c_ns.append(c_n)
+        li += 1
     return out, (jnp.stack(h_ns), jnp.stack(c_ns))

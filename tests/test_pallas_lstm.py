@@ -100,3 +100,145 @@ def test_vmem_plan_residency_model():
     assert _REAL_VMEM_PLAN(402, 64, 4096, PL.BWD_WORDS)[0] is None
     # the stricter backward streaming still fits the historic OOM shape
     assert _REAL_VMEM_PLAN(402, 25, 720, PL.BWD_WORDS)[0] >= 1
+
+
+# ---------------------------------------------------------------------------
+# fused 2-layer stack (r5: one pallas_call per direction for the embedder)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def interpret_stack2(monkeypatch):
+    monkeypatch.setattr(PL, "INTERPRET", True)
+    monkeypatch.setattr(PL, "_vmem_plan2",
+                        lambda seq, batch, hidden, words: (min(4, seq),
+                                                           None))
+
+
+def _stack_params(hidden=8, inp=5):
+    p1 = LS.lstm_layer_params(jax.random.PRNGKey(10), inp, hidden,
+                              jnp.float32)
+    p2 = LS.lstm_layer_params(jax.random.PRNGKey(11), hidden, hidden,
+                              jnp.float32)
+    return p1, p2
+
+
+def _scan_stack_ref(p1, p2, x):
+    """Pure lax.scan 2-layer stack (pallas forced off via monkeypatch in
+    the callers)."""
+    out1, s1 = LS.lstm_layer(p1, x)
+    out2, s2 = LS.lstm_layer(p2, out1)
+    return out2, [s1, s2]
+
+
+@pytest.mark.parametrize("batch,seq", [(1, 4), (2, 6), (1, 9)])
+def test_stack2_forward_parity(interpret_stack2, monkeypatch, batch, seq):
+    p1, p2 = _stack_params()
+    x = jax.random.normal(jax.random.PRNGKey(12), (batch, seq, 5),
+                          jnp.float32) * 0.4
+    # reference: scan path (pallas off)
+    monkeypatch.setattr(LS, "_PALLAS", False)
+    y_ref, states_ref = _scan_stack_ref(p1, p2, x)
+    y_pal, states_pal = PL.lstm_stack2_pallas(p1, p2, x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_pal),
+                               atol=1e-5)
+    for (h_r, c_r), (h_p, c_p) in zip(states_ref, states_pal):
+        np.testing.assert_allclose(np.asarray(h_r), np.asarray(h_p),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_r), np.asarray(c_p),
+                                   atol=1e-5)
+
+
+def test_stack2_gradient_parity(interpret_stack2, monkeypatch):
+    """Grads wrt both layers' params and the input match the scan stack
+    when the loss consumes the top layer's output sequence (the only
+    cotangent path the fused kernel propagates — and the only one any
+    model in the framework uses)."""
+    p1, p2 = _stack_params()
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 7, 5),
+                          jnp.float32) * 0.4
+
+    def loss_pal(p1, p2, xx):
+        return jnp.sum(jnp.sin(PL.lstm_stack2_pallas(p1, p2, xx)[0]))
+
+    def loss_ref(p1, p2, xx):
+        return jnp.sum(jnp.sin(_scan_stack_ref(p1, p2, xx)[0]))
+
+    monkeypatch.setattr(LS, "_PALLAS", False)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(p1, p2, x)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(p1, p2, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_stack2_lstm_dispatch(interpret_stack2, monkeypatch):
+    """ops.lstm.lstm() routes an eligible 2-layer stack through the fused
+    kernel (pallas enabled) and produces the scan stack's values."""
+    p1, p2 = _stack_params()
+    x = jax.random.normal(jax.random.PRNGKey(14), (1, 6, 5),
+                          jnp.float32) * 0.4
+    monkeypatch.setattr(LS, "_PALLAS", False)
+    y_ref, (hn_ref, cn_ref) = LS.lstm([p1, p2], x)
+
+    called = {}
+    real = PL.lstm_stack2_pallas
+
+    def spy(a, b, xx):
+        called["hit"] = True
+        return real(a, b, xx)
+
+    monkeypatch.setattr(LS, "_PALLAS", True)
+    monkeypatch.setattr(PL, "lstm_stack2_pallas", spy)
+    y_fused, (hn_f, cn_f) = LS.lstm([p1, p2], x)
+    assert called.get("hit")
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn_ref), np.asarray(hn_f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn_ref), np.asarray(cn_f),
+                               atol=1e-5)
+
+
+def test_stack2_vmem_plan():
+    """The stack-2 planner fits the planning shapes (B=1 and B<=32 at
+    H=720) and refuses absurd residency."""
+    assert PL._vmem_plan2(201, 1, 720, PL.FWD2_WORDS)[0] >= 16
+    assert PL._vmem_plan2(201, 1, 720, PL.BWD2_WORDS)[0] >= 8
+    assert PL._vmem_plan2(201, 32, 720, PL.BWD2_WORDS)[0] >= 1
+    assert PL._vmem_plan2(201, 64, 4096, PL.BWD2_WORDS)[0] is None
+
+
+def test_stack_deep_pairwise_fusion(interpret_stack2, monkeypatch):
+    """A 4-layer equal-H stack fuses as two stack-2 kernels and matches
+    the scan stack; a 3-layer stack fuses its first pair."""
+    hidden = 8
+    ps = [LS.lstm_layer_params(jax.random.PRNGKey(20 + i),
+                               5 if i == 0 else hidden, hidden,
+                               jnp.float32)
+          for i in range(4)]
+    x = jax.random.normal(jax.random.PRNGKey(25), (2, 6, 5),
+                          jnp.float32) * 0.4
+
+    monkeypatch.setattr(LS, "_PALLAS", False)
+    y_ref, (hn_ref, _) = LS.lstm(ps, x)
+    y3_ref, (hn3_ref, _) = LS.lstm(ps[:3], x)
+
+    calls = []
+    real = PL.lstm_stack2_pallas
+    monkeypatch.setattr(PL, "lstm_stack2_pallas",
+                        lambda a, b, xx: calls.append(1) or real(a, b, xx))
+    monkeypatch.setattr(LS, "_PALLAS", True)
+    y_fused, (hn_f, _) = LS.lstm(ps, x)
+    assert len(calls) == 2
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn_ref), np.asarray(hn_f),
+                               atol=1e-5)
+
+    calls.clear()
+    y3_fused, (hn3_f, _) = LS.lstm(ps[:3], x)
+    assert len(calls) == 1  # pair + single tail layer
+    np.testing.assert_allclose(np.asarray(y3_ref), np.asarray(y3_fused),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn3_ref), np.asarray(hn3_f),
+                               atol=1e-5)
